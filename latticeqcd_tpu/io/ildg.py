@@ -1,0 +1,117 @@
+"""ILDG gauge-configuration I/O (LIME container, big-endian float64).
+
+Counterpart of Gaugefields.jl's ILDG support (SURVEY.md 2.4.1:
+ILDG(filename), load_gaugefield!, save_binarydata; used at
+/root/reference/src/system/universe.jl:62-65, lqcd.jl:239).
+
+Implements the standard interoperable format: a LIME container
+(magic 0x456789ab, 144-byte record headers) holding an
+``ildg-format`` XML record and an ``ildg-binary-data`` record with
+big-endian float64 data ordered t-slowest/x-fastest, mu = x,y,z,t,
+color row-major, re/im interleaved — the same lexicographic ordering
+as the Bridge++ text files (pinned in tests/test_io.py). Plain
+headerless big-endian blobs are also accepted on load.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import jax.numpy as jnp
+
+DIRS = 4
+LIME_MAGIC = 0x456789AB
+
+
+def _lime_records(raw: bytes):
+    """Yield (type_string, payload) for each LIME record."""
+    pos = 0
+    while pos + 144 <= len(raw):
+        magic, version, flags, typelen = struct.unpack_from(">IHHQ", raw, pos)
+        if magic != LIME_MAGIC:
+            raise ValueError(f"bad LIME magic at offset {pos}: {magic:#x}")
+        # header: magic(4) version(2) msgflags(2) datalength(8) type(128)
+        datalength = typelen
+        rectype = raw[pos + 16 : pos + 144].split(b"\x00", 1)[0].decode("ascii", "replace")
+        start = pos + 144
+        yield rectype, raw[start : start + datalength]
+        padded = (datalength + 7) // 8 * 8
+        pos = start + padded
+
+
+def _is_lime(raw: bytes) -> bool:
+    return len(raw) >= 4 and struct.unpack_from(">I", raw, 0)[0] == LIME_MAGIC
+
+
+def load_ildg(filename, lattice, nc: int, dtype=jnp.complex128) -> jnp.ndarray:
+    """Load one gauge field U[mu, x, y, z, t, a, b] from an ILDG file."""
+    with open(filename, "rb") as fp:
+        raw = fp.read()
+    nx, ny, nz, nt = lattice
+    nbytes_f64 = nt * nz * ny * nx * DIRS * nc * nc * 2 * 8
+    payload = None
+    precision = 64
+    if _is_lime(raw):
+        for rectype, data in _lime_records(raw):
+            if rectype == "ildg-format":
+                txt = data.decode("ascii", "replace")
+                if "<precision>32</precision>" in txt:
+                    precision = 32
+            if rectype == "ildg-binary-data":
+                payload = data
+        if payload is None:
+            raise ValueError(f"{filename}: no ildg-binary-data record found")
+    else:
+        payload = raw
+        if len(raw) == nbytes_f64 // 2:
+            precision = 32
+    fdtype = ">f8" if precision == 64 else ">f4"
+    data = np.frombuffer(payload, dtype=fdtype).astype(np.float64)
+    expected = nt * nz * ny * nx * DIRS * nc * nc * 2
+    if data.size != expected:
+        raise ValueError(
+            f"{filename}: {data.size} floats, expected {expected} for {lattice} NC={nc}"
+        )
+    cplx = data[0::2] + 1j * data[1::2]
+    arr = cplx.reshape(nt, nz, ny, nx, DIRS, nc, nc)
+    u = np.transpose(arr, (4, 3, 2, 1, 0, 5, 6))
+    return jnp.asarray(u, dtype=dtype)
+
+
+def _lime_record(rectype: bytes, payload: bytes, first=False, last=False) -> bytes:
+    flags = (0x8000 if first else 0) | (0x4000 if last else 0)
+    header = struct.pack(">IHHQ", LIME_MAGIC, 1, flags, len(payload))
+    header += rectype.ljust(128, b"\x00")[:128]
+    pad = (-len(payload)) % 8
+    return header + payload + b"\x00" * pad
+
+
+def save_ildg(filename, u) -> None:
+    """Save U[mu, x, y, z, t, a, b] as a LIME/ILDG file (f64 big-endian)."""
+    un = np.asarray(u)
+    nc = un.shape[-1]
+    nx, ny, nz, nt = un.shape[1:5]
+    arr = np.transpose(un, (4, 3, 2, 1, 0, 5, 6))
+    flat = arr.reshape(-1)
+    out = np.empty(2 * flat.size, dtype=">f8")
+    out[0::2] = flat.real
+    out[1::2] = flat.imag
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<ildgFormat xmlns="http://www.lqcd.org/ildg">'
+        "<version>1.0</version><field>su{nc}gauge</field>"
+        "<precision>64</precision>"
+        "<lx>{nx}</lx><ly>{ny}</ly><lz>{nz}</lz><lt>{nt}</lt>"
+        "</ildgFormat>"
+    ).format(nc=nc, nx=nx, ny=ny, nz=nz, nt=nt).encode("ascii")
+    blob = _lime_record(b"ildg-format", xml, first=True)
+    blob += _lime_record(b"ildg-binary-data", out.tobytes(), last=True)
+    with open(filename, "wb") as fp:
+        fp.write(blob)
+
+
+def load_binary(filename, lattice, nc: int, dtype=jnp.complex128) -> jnp.ndarray:
+    """Headerless big-endian f64 blob (reference save_binarydata style)."""
+    return load_ildg(filename, lattice, nc, dtype)
