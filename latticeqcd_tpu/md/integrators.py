@@ -1,0 +1,148 @@
+"""Molecular-dynamics integrators (pure functions, jit-compiled).
+
+TPU-native mirror of the reference MD layer (SURVEY.md 2.2 rows
+"MD abstract layer"/"MD integrators"; /root/reference/src/md/
+standardMD.jl:126-190, AbstractMD.jl:78-135):
+
+* QPQ leapfrog:            [U(1/2) P(1) U(1/2)] x MDsteps
+* PQP leapfrog:            [P(1/2) U(1) P(1/2)] x MDsteps
+* Sexton-Weingarten QPQ:   Nsw/2 gauge sub-iterations of
+                           [U(.5/Nsw) P_g(1/Nsw) U(.5/Nsw)],
+                           one fermion kick (1), then the second half
+                           — multi-timescale nesting exactly as
+                           standardMD.jl:144-167.
+
+State is (U, H): links U[4,X,Y,Z,T,NC,NC] and traceless-hermitian
+momenta H of the same shape. Evolution U <- exp(i eps H) U,
+H <- H + eps * force(U), with force = Hdot (the conservative sign is
+baked into the force functions; see ops/gauge_action.force). Each
+trajectory is ONE jitted XLA program: the step loop is a
+lax.fori_loop, so MDsteps does not unroll the graph.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from latticeqcd_tpu.ops import sun
+
+DIRS = 4
+
+
+def update_links(u: jnp.ndarray, h: jnp.ndarray, eps) -> jnp.ndarray:
+    """U <- exp(i eps H) U for all four directions (U_update!,
+    AbstractMD.jl:78-98)."""
+    e = sun.expi_hermitian(h, eps)
+    return jnp.matmul(e, u)
+
+
+def leapfrog_qpq(
+    u: jnp.ndarray,
+    h: jnp.ndarray,
+    force_gauge: Callable,
+    dtau: float,
+    md_steps: int,
+    force_fermion: Optional[Callable] = None,
+):
+    """runMD_QPQ! (standardMD.jl:126-142)."""
+
+    def body(_, carry):
+        u, h = carry
+        u = update_links(u, h, 0.5 * dtau)
+        h = h + dtau * force_gauge(u)
+        if force_fermion is not None:
+            h = h + dtau * force_fermion(u)
+        u = update_links(u, h, 0.5 * dtau)
+        return (u, h)
+
+    return jax.lax.fori_loop(0, md_steps, body, (u, h))
+
+
+def leapfrog_pqp(
+    u: jnp.ndarray,
+    h: jnp.ndarray,
+    force_gauge: Callable,
+    dtau: float,
+    md_steps: int,
+    force_fermion: Optional[Callable] = None,
+):
+    """runMD_PQP! (standardMD.jl:170-190)."""
+
+    def body(_, carry):
+        u, h = carry
+        h = h + 0.5 * dtau * force_gauge(u)
+        if force_fermion is not None:
+            h = h + 0.5 * dtau * force_fermion(u)
+        u = update_links(u, h, dtau)
+        h = h + 0.5 * dtau * force_gauge(u)
+        if force_fermion is not None:
+            h = h + 0.5 * dtau * force_fermion(u)
+        return (u, h)
+
+    return jax.lax.fori_loop(0, md_steps, body, (u, h))
+
+
+def leapfrog_qpq_sw(
+    u: jnp.ndarray,
+    h: jnp.ndarray,
+    force_gauge: Callable,
+    dtau: float,
+    md_steps: int,
+    force_fermion: Callable,
+    nsw: int = 2,
+):
+    """Sexton-Weingarten multi-timescale QPQ (standardMD.jl:144-167).
+
+    nsw must be even (asserted by the reference, standardMD.jl:56).
+    """
+    if nsw % 2 != 0:
+        raise ValueError(f"Nsw must be even, got {nsw}")
+
+    def gauge_half(carry):
+        def inner(_, c):
+            u, h = c
+            u = update_links(u, h, 0.5 * dtau / nsw)
+            h = h + (dtau / nsw) * force_gauge(u)
+            u = update_links(u, h, 0.5 * dtau / nsw)
+            return (u, h)
+
+        return jax.lax.fori_loop(0, nsw // 2, inner, carry)
+
+    def body(_, carry):
+        carry = gauge_half(carry)
+        u, h = carry
+        h = h + dtau * force_fermion(u)
+        carry = gauge_half((u, h))
+        return carry
+
+    return jax.lax.fori_loop(0, md_steps, body, (u, h))
+
+
+def run_md(
+    u,
+    h,
+    force_gauge,
+    dtau,
+    md_steps,
+    force_fermion=None,
+    scheme: str = "QPQ",
+    sexton_weingarten: bool = False,
+    nsw: int = 2,
+):
+    """Dispatch mirroring runMD! (standardMD.jl:103-124)."""
+    if scheme == "QPQ":
+        if sexton_weingarten:
+            if force_fermion is None:
+                raise ValueError(
+                    "The quench update does not need the SextonWeingarten method"
+                )
+            return leapfrog_qpq_sw(u, h, force_gauge, dtau, md_steps, force_fermion, nsw)
+        return leapfrog_qpq(u, h, force_gauge, dtau, md_steps, force_fermion)
+    if scheme == "PQP":
+        if sexton_weingarten:
+            raise ValueError("PQP update with SextonWeingarten is not supported")
+        return leapfrog_pqp(u, h, force_gauge, dtau, md_steps, force_fermion)
+    raise ValueError(f"unknown MD scheme {scheme!r}")

@@ -11,8 +11,7 @@ conventions so actions/forces are drop-in comparable.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Tuple
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -23,16 +22,20 @@ from latticeqcd_tpu.ops.wilsonline import Wilsonline, make_loops_fromname
 DIRS = 4
 
 
-@dataclass
+@dataclass(frozen=True)
 class GaugeAction:
-    """List of (coupling, [Wilsonline...]) — push!(action, coeff, loops)."""
+    """Immutable list of (coupling, (Wilsonline,...)) terms.
+
+    Counterpart of GaugeAction + push! (universe.jl:85-94), but
+    persistent/hashable so updaters carrying an action can be jit
+    static arguments. `push` returns a new action.
+    """
 
     nc: int
-    terms: List[Tuple[float, tuple]] = field(default_factory=list)
+    terms: tuple = ()
 
-    def push(self, coeff: float, loops):
-        self.terms.append((float(coeff), tuple(loops)))
-        return self
+    def push(self, coeff: float, loops) -> "GaugeAction":
+        return GaugeAction(self.nc, self.terms + ((float(coeff), tuple(loops)),))
 
     def weighted_lines(self):
         return [(c, line) for c, loops in self.terms for line in loops]

@@ -1,0 +1,138 @@
+"""Hybrid Monte Carlo updater (quenched and dynamical).
+
+TPU-native counterpart of the reference's StandardHMC
+(/root/reference/src/updates/standardHMC.jl:41-91): save old links,
+refresh momenta (and pseudofermions), H_old = tr(H^2) + S_g (+ |xi|^2),
+run MD, H_new likewise (fermion part via evaluate_FermiAction on the
+evolved links), Metropolis accept exp(Sold-Snew) >= uniform with
+restore on reject. The entire trajectory — momentum refresh, the MD
+loop, both action evaluations, and the accept decision — is ONE
+jitted SPMD program; on a sharded mesh the action sums and the
+accept decision lower to psum + replicated select (the reference's
+rank-replicated rand(), SURVEY.md 2.5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from latticeqcd_tpu.md import integrators
+from latticeqcd_tpu.ops import gauge_action as ga
+from latticeqcd_tpu.ops import sun
+
+
+@dataclass(frozen=True)
+class HMC:
+    """Static configuration of an HMC updater.
+
+    fermi_action: object implementing the FermiAction protocol
+    (sample_pseudofermion, action, force) or None for quenched runs.
+    smearing: optional CovNet (smearing/stout.py) applied to the
+    links wherever the fermion determinant sees them
+    (standardMD.jl:89-97, 192-227 semantics, via autodiff instead of
+    hand-written back_prop).
+    """
+
+    action: ga.GaugeAction
+    dtau: float
+    md_steps: int
+    scheme: str = "QPQ"
+    sexton_weingarten: bool = False
+    nsw: int = 2
+    fermi_action: Optional[Any] = None
+    smearing: Optional[Any] = None
+
+    @property
+    def quench(self) -> bool:
+        return self.fermi_action is None
+
+    # ---------------------------------------------------------------- step
+    @partial(jax.jit, static_argnums=0)
+    def step(self, u: jnp.ndarray, key: jnp.ndarray):
+        """One HMC trajectory: (U, key) -> (U', stats).
+
+        stats: dict with accepted (bool), dH, sg_old/new, plaq.
+        """
+        nc = self.action.nc
+        key, k_mom, k_ferm, k_acc = jax.random.split(key, 4)
+
+        h = sun.random_hermitian_momentum(k_mom, u.shape[:-2], nc, dtype=u.dtype)
+
+        force_fermion = None
+        s_f_old = 0.0
+        eta = None
+        if not self.quench:
+            us = self._smear(u)
+            xi, eta = self.fermi_action.sample_pseudofermion(us, k_ferm)
+            s_f_old = jnp.real(self.fermi_action.xi_norm(xi))
+            force_fermion = lambda uu: self._fermion_force(uu, eta)
+
+        sp_old = sun.kinetic_energy(h)
+        sg_old = ga.action_value(self.action, u)
+        s_old = sp_old + sg_old + s_f_old
+
+        force_gauge = lambda uu: ga.force(self.action, uu)
+        u_new, h_new = integrators.run_md(
+            u,
+            h,
+            force_gauge,
+            self.dtau,
+            self.md_steps,
+            force_fermion=force_fermion,
+            scheme=self.scheme,
+            sexton_weingarten=self.sexton_weingarten,
+            nsw=self.nsw,
+        )
+
+        sp_new = sun.kinetic_energy(h_new)
+        sg_new = ga.action_value(self.action, u_new)
+        s_f_new = 0.0
+        if not self.quench:
+            s_f_new = jnp.real(self.fermi_action.action(self._smear(u_new), eta))
+        s_new = sp_new + sg_new + s_f_new
+
+        d_h = s_new - s_old
+        accept = jnp.exp(-d_h) >= jax.random.uniform(k_acc, dtype=sg_old.dtype)
+        u_out = jnp.where(accept, u_new, u)
+
+        stats = {
+            "accepted": accept,
+            "dH": d_h,
+            "sg_old": sg_old,
+            "sg_new": sg_new,
+            "sp_old": sp_old,
+            "sp_new": sp_new,
+            "sf_old": s_f_old,
+            "sf_new": s_f_new,
+            "plaq": ga.mean_plaquette(u_out),
+        }
+        return u_out, key, stats
+
+    # ------------------------------------------------------------- helpers
+    def _smear(self, u):
+        if self.smearing is None:
+            return u
+        return self.smearing.smear(u)
+
+    def _fermion_force(self, u, eta):
+        """Fermion force on the bare links; when smearing is active the
+        chain rule through the stout stack is JAX autodiff (replacing
+        the reference's hand-written back_prop, standardMD.jl:216-224).
+        """
+        if self.smearing is None:
+            return self.fermi_action.force(u, eta)
+
+        def s_f(uu):
+            return jnp.real(self.fermi_action.action(self.smearing.smear(uu), eta))
+
+        g = jax.grad(s_f)(u)
+        out = []
+        for mu in range(4):
+            m = 1j * sun.mul(u[mu], jnp.swapaxes(g[mu], -1, -2))
+            out.append(-0.5 * sun.traceless_hermitian(m))
+        return jnp.stack(out, axis=0)

@@ -1,0 +1,90 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from latticeqcd_tpu.io import load_bridge_text
+from latticeqcd_tpu.md import integrators
+from latticeqcd_tpu.ops import fields, gauge_action as ga, sun
+from latticeqcd_tpu.updates import HMC
+
+LAT = (4, 4, 4, 4)
+
+
+def _setup(nc=3, beta=5.7, seed=3):
+    u = fields.hot_start(LAT, nc, seed=seed)
+    act = ga.wilson_gauge_action(nc, beta)
+    return u, act
+
+
+def test_md_reversibility():
+    """Leapfrog is time-reversible: integrate, flip H, integrate back."""
+    u, act = _setup()
+    key = jax.random.PRNGKey(0)
+    h = sun.random_hermitian_momentum(key, u.shape[:-2], 3)
+    force = lambda uu: ga.force(act, uu)
+    u1, h1 = integrators.leapfrog_qpq(u, h, force, 0.05, 10)
+    u2, h2 = integrators.leapfrog_qpq(u1, -h1, force, 0.05, 10)
+    assert float(jnp.max(jnp.abs(u2 - u))) < 1e-10
+    assert float(jnp.max(jnp.abs(h2 + h))) < 1e-10
+
+
+def test_md_energy_scaling():
+    """|dH| scales ~ dtau^2 at fixed trajectory length."""
+    u, act = _setup()
+    key = jax.random.PRNGKey(1)
+    h = sun.random_hermitian_momentum(key, u.shape[:-2], 3)
+    force = lambda uu: ga.force(act, uu)
+
+    def dh(dtau, steps):
+        s0 = sun.kinetic_energy(h) + ga.action_value(act, u)
+        u1, h1 = integrators.leapfrog_qpq(u, h, force, dtau, steps)
+        s1 = sun.kinetic_energy(h1) + ga.action_value(act, u1)
+        return abs(float(s1 - s0))
+
+    d1 = dh(0.02, 50)
+    d2 = dh(0.01, 100)
+    assert d2 < d1 / 2.5  # ideally factor 4
+
+
+def test_pqp_matches_qpq_convergence():
+    u, act = _setup()
+    key = jax.random.PRNGKey(2)
+    h = sun.random_hermitian_momentum(key, u.shape[:-2], 3)
+    force = lambda uu: ga.force(act, uu)
+    ua, _ = integrators.leapfrog_qpq(u, h, force, 0.002, 100)
+    ub, _ = integrators.leapfrog_pqp(u, h, force, 0.002, 100)
+    assert float(jnp.max(jnp.abs(ua - ub))) < 1e-5
+
+
+def test_hmc_step_preserves_group():
+    u, act = _setup()
+    hmc = HMC(action=act, dtau=1.0 / 15, md_steps=15)
+    key = jax.random.PRNGKey(3)
+    u1, key, stats = hmc.step(u, key)
+    assert float(sun.unitarity_defect(u1)) < 1e-9
+    assert bool(jnp.isfinite(stats["dH"]))
+
+
+@pytest.mark.slow
+def test_hmc_quenched_su3_reproduces_golden(reference_dir):
+    """test01.toml scenario: 10 trajectories from the checked-in config,
+    final plaquette within the reference's 10% golden band
+    (BASELINE.md #2: 0.55783720583739)."""
+    conf = os.path.join(
+        reference_dir,
+        "test/confs_HMC_L04040404_beta5.7_quenched_su3/conf_00000100.ildg.txt",
+    )
+    u = load_bridge_text(conf, LAT, 3)
+    act = ga.wilson_gauge_action(3, 5.7)
+    hmc = HMC(action=act, dtau=1.0 / 15, md_steps=15)
+    key = jax.random.PRNGKey(111)
+    n_acc = 0
+    for _ in range(10):
+        u, key, stats = hmc.step(u, key)
+        n_acc += int(stats["accepted"])
+    plaq = float(ga.mean_plaquette(u))
+    golden = 0.55783720583739
+    assert abs(plaq - golden) / golden < 0.1
+    assert n_acc >= 5
