@@ -1,0 +1,143 @@
+"""Wilson Dirac operator (optionally clover-improved).
+
+TPU-native counterpart of LatticeDiracOperators.jl's Wilson operator
+(SURVEY.md 2.4.2; built from params kappa, r, boundarycondition at
+/root/reference/src/system/universe.jl:111-137). Hopping form:
+
+    D psi(x) = psi(x)
+      - kappa sum_mu [ (r - g_mu) U_mu(x) psi(x+mu)
+                     + (r + g_mu) U_mu(x-mu)^dag psi(x-mu) ]
+
+with boundary phases (default antiperiodic time, bc = [1,1,1,-1],
+system_parameters.jl:52) absorbed into the links. Spinor layout:
+psi[X, Y, Z, T, 4(spin), NC]. The hopping term contracts color with
+a batched 3x3 mat-vec and spin with the 8 fixed 4x4 projectors —
+pure einsum chains that XLA fuses into one pass over the field; on a
+sharded mesh the shifts become halo collective-permutes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latticeqcd_tpu.ops.dirac import gammas
+
+DIRS = 4
+
+
+def apply_boundary_phases(u: jnp.ndarray, bc=(1, 1, 1, -1)) -> jnp.ndarray:
+    """Multiply the last time-slice (and analogous) links by the
+    boundary phase so plain periodic shifts implement the fermion BCs."""
+    for mu, phase in enumerate(bc):
+        if phase == 1:
+            continue
+        l = u.shape[1 + mu]
+        idx = [slice(None)] * u.ndim
+        idx[1 + mu] = l - 1
+        u = u.at[mu].set(u[mu].at[tuple(idx[1:])].multiply(phase))
+    return u
+
+
+def _shift(f, mu, steps):
+    return jnp.roll(f, -steps, axis=mu)
+
+
+@dataclass(frozen=True)
+class WilsonDirac:
+    """Static description of a Wilson operator: D(U) psi."""
+
+    kappa: float
+    r: float = 1.0
+    bc: tuple = (1, 1, 1, -1)
+    csw: float = 0.0  # clover coefficient (Clover term, system_parameters.jl:87)
+
+    def apply(self, u: jnp.ndarray, psi: jnp.ndarray) -> jnp.ndarray:
+        """D psi. u must already carry boundary phases
+        (apply_boundary_phases) — the driver layer does this once."""
+        pm, pp = gammas.projectors(self.r)
+        pm = jnp.asarray(pm, dtype=psi.dtype)
+        pp = jnp.asarray(pp, dtype=psi.dtype)
+        out = psi
+        hop = 0.0
+        for mu in range(DIRS):
+            umu = u[mu]
+            fwd = jnp.einsum("...ab,...sb->...sa", umu, _shift(psi, mu, +1))
+            bwd = jnp.einsum(
+                "...ba,...sb->...sa", jnp.conj(_shift(umu, mu, -1)), _shift(psi, mu, -1)
+            )
+            hop = hop + jnp.einsum("st,...tc->...sc", pm[mu], fwd)
+            hop = hop + jnp.einsum("st,...tc->...sc", pp[mu], bwd)
+        out = out - self.kappa * hop
+        if self.csw != 0.0:
+            out = out + self._clover_term(u, psi)
+        return out
+
+    def apply_dagger(self, u: jnp.ndarray, psi: jnp.ndarray) -> jnp.ndarray:
+        """D^dag psi = g5 D g5 psi (gamma5-hermiticity)."""
+        g5 = jnp.asarray(np.diag(gammas.GAMMA5).real, dtype=jnp.float64)
+        psi5 = psi * g5[:, None]
+        return self.apply(u, psi5) * g5[:, None]
+
+    def apply_ddag_d(self, u, psi):
+        return self.apply_dagger(u, self.apply(u, psi))
+
+    def apply_d_ddag(self, u, psi):
+        return self.apply(u, self.apply_dagger(u, psi))
+
+    # ------------------------------------------------------------------
+    def _clover_term(self, u, psi):
+        """-(csw kappa / 2) sigma_munu F_munu psi with clover-leaf F."""
+        from latticeqcd_tpu.ops import sun
+        from latticeqcd_tpu.ops.wilsonline import evaluate_line, make_cloverloops
+
+        sigma = np.zeros((4, 4, 4, 4), dtype=np.complex128)
+        for mu in range(4):
+            for nu in range(4):
+                sigma[mu, nu] = (
+                    (gammas.GAMMA[mu] @ gammas.GAMMA[nu] - gammas.GAMMA[nu] @ gammas.GAMMA[mu])
+                    / 2.0
+                )
+        acc = 0.0
+        for mu in range(4):
+            for nu in range(4):
+                if mu == nu:
+                    continue
+                clov = 0.0
+                for line in make_cloverloops(mu, nu):
+                    clov = clov + evaluate_line(u, line)
+                f = sun.traceless_antihermitian(clov) / 4.0  # (1/8)(C - C^dag) w/ 4 leaves
+                smat = jnp.asarray(sigma[mu, nu], dtype=psi.dtype)
+                fpsi = jnp.einsum("...ab,...sb->...sa", f, psi)
+                acc = acc + jnp.einsum("st,...tc->...sc", smat, fpsi)
+        return -(self.csw * self.kappa / 2.0) * acc
+
+
+def gaussian_spinor(key, lattice, nc, nspin=4, dtype=jnp.complex128):
+    """Unit-variance complex Gaussian spinor: E|psi_i|^2 = 1."""
+    rdtype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    k1, k2 = jax.random.split(key)
+    shape = tuple(lattice) + ((nspin, nc) if nspin > 1 else (nc,))
+    re = jax.random.normal(k1, shape, dtype=rdtype)
+    im = jax.random.normal(k2, shape, dtype=rdtype)
+    return ((re + 1j * im) / np.sqrt(2.0)).astype(dtype)
+
+
+def z4_spinor(key, lattice, nc, nspin=4, dtype=jnp.complex128):
+    """Z4 noise: entries in {1, i, -1, -i}/1 (Z4_distribution_fermi!
+    semantics, SURVEY.md 2.4.2)."""
+    shape = tuple(lattice) + ((nspin, nc) if nspin > 1 else (nc,))
+    k = jax.random.randint(key, shape, 0, 4)
+    vals = jnp.stack(
+        [jnp.ones(shape), 1j * jnp.ones(shape), -jnp.ones(shape), -1j * jnp.ones(shape)]
+    )
+    return jnp.take_along_axis(vals, k[None], axis=0)[0].astype(dtype)
+
+
+def inner(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Global <a, b> = sum conj(a) b (the reference's dot(a,b))."""
+    return jnp.vdot(a, b)

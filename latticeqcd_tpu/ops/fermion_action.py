@@ -1,0 +1,234 @@
+"""Pseudofermion actions: Wilson (2 flavor), staggered (Nf 1..8 incl.
+RHMC), with exact implicit-differentiation forces.
+
+Counterpart of LatticeDiracOperators.jl's FermiAction layer
+(SURVEY.md 2.4.2: gauss_sampling_in_action!, sample_pseudofermions!,
+evaluate_FermiAction, calc_UdSfdU!; built at
+/root/reference/src/system/universe.jl:100-143).
+
+Measures:
+* Wilson Nf=2:  S = phi^dag (D D^dag)^-1 phi        => det(D)^2
+* Staggered Nf: S = sum_i phi_i^dag W^-(Nf/4npf) phi_i on even sites,
+  W = (D^dag D)_ee = m^2 - Dslash^2|_ee, det_ee W = det D (4 tastes)
+  => det(D)^(Nf/4): one pseudofermion for Nf<=4, two for Nf in 5..8,
+  rational exponents via Gauss-Jacobi partial fractions + multi-shift
+  CG (RHMC; auto-engaged exactly when the reference would,
+  README.md:132: Nf not in {4,8}).
+
+Forces use the implicit/adjoint trick: for S = phi^dag r(W) phi with
+r in partial fractions, X_j = (W+b_j)^-1 phi are computed once
+(multi-shift CG, stop-gradient) and dS/dU = -sum_j a_j d/dU
+[X_j^dag W(U) X_j] — a jax.grad through the *linear* operator
+application only, never through the solver. This replaces the
+reference's hand-written calc_UdSfdU! kernels and is exact for the
+sampled action.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latticeqcd_tpu.ops import rational, solvers, sun
+from latticeqcd_tpu.ops.dirac.staggered import StaggeredDirac
+from latticeqcd_tpu.ops.dirac.wilson import (
+    WilsonDirac,
+    apply_boundary_phases,
+    gaussian_spinor,
+    inner,
+)
+
+DIRS = 4
+
+
+def _project_force(u, grad_c):
+    """Hdot contribution from gradient g of a real scalar c(U):
+    Hdot = +(1/2) proj_TH(i U g^T) per direction (the -1/2 of
+    gauge_action.force_autodiff times the dS = -dc sign)."""
+    out = []
+    for mu in range(DIRS):
+        m = 1j * sun.mul(u[mu], jnp.swapaxes(grad_c[mu], -1, -2))
+        out.append(0.5 * sun.traceless_hermitian(m))
+    return jnp.stack(out, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Wilson two-flavor
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class WilsonFermiAction:
+    """S = phi^dag (D D^dag)^-1 phi; weight det(D D^dag) = det(D)^2."""
+
+    dirac: WilsonDirac
+    eps_cg: float = 1e-19
+    max_cg: int = 3000
+
+    def _phased(self, u):
+        return apply_boundary_phases(u, self.dirac.bc)
+
+    def sample_pseudofermion(self, u, key):
+        """phi = D xi with unit Gaussian xi; S_old = |xi|^2 exactly
+        (the reference's Sfold = dot(xi,xi), standardHMC.jl:54)."""
+        up = self._phased(u)
+        lattice = u.shape[1:5]
+        nc = u.shape[-1]
+        xi = gaussian_spinor(key, lattice, nc, nspin=4, dtype=u.dtype)
+        phi = self.dirac.apply(up, xi)
+        return jnp.real(inner(xi, xi)), phi
+
+    def action(self, u, phi):
+        up = self._phased(u)
+        x, _, _ = solvers.cg(
+            lambda v: self.dirac.apply_d_ddag(up, v), phi, eps=self.eps_cg, maxiter=self.max_cg
+        )
+        return jnp.real(inner(phi, x))
+
+    def force(self, u, phi, smear_fn=None):
+        """Exact force; with smear_fn the chain rule through the stout
+        stack is JAX autodiff, replacing the reference's hand-written
+        back_prop (standardMD.jl:216-224). Solves run on the smeared
+        links, the gradient is taken w.r.t. the bare links."""
+        us = smear_fn(u) if smear_fn is not None else u
+        up = self._phased(us)
+        x, _, _ = solvers.cg(
+            lambda v: self.dirac.apply_d_ddag(up, v), phi, eps=self.eps_cg, maxiter=self.max_cg
+        )
+        x = jax.lax.stop_gradient(x)
+
+        def c(uu):
+            uus = smear_fn(uu) if smear_fn is not None else uu
+            uup = apply_boundary_phases(uus, self.dirac.bc)
+            return jnp.real(inner(x, self.dirac.apply_d_ddag(uup, x)))
+
+        g = jax.grad(c)(u)
+        return _project_force(u, g)
+
+
+# ---------------------------------------------------------------------------
+# Staggered Nf (1..8), RHMC as needed
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class StaggeredFermiAction:
+    """det(D)^(Nf/4) via even-site pseudofermions on W = m^2 - Dslash^2."""
+
+    dirac: StaggeredDirac
+    nf: int = 4
+    eps_cg: float = 1e-19
+    max_cg: int = 3000
+    rational_tol: float = 1e-10
+
+    def __post_init__(self):
+        if not (1 <= self.nf <= 8):
+            raise ValueError(f"staggered Nf must be in 1..8, got {self.nf}")
+
+    @property
+    def n_pf(self) -> int:
+        return 1 if self.nf <= 4 else 2
+
+    @property
+    def action_beta(self) -> float:
+        return self.nf / (4.0 * self.n_pf)  # in (0, 1]
+
+    @property
+    def sample_beta(self) -> float:
+        return self.nf / (8.0 * self.n_pf)  # in (0, 1/2]
+
+    def _bounds(self):
+        m2 = self.dirac.mass**2
+        return m2 * 0.999, m2 + 16.5
+
+    def _phased(self, u):
+        return apply_boundary_phases(u, self.dirac.bc)
+
+    def _w(self, up):
+        return lambda v: self.dirac.apply_w_even(up, v)
+
+    # -------------------------------------------------------------- sample
+    def sample_pseudofermion(self, u, key):
+        """phi = W^(Nf/8npf) xi_e, xi_e Gaussian on even sites:
+        S_old = |xi|^2 up to the rational tolerance. Returns the stacked
+        pseudofermions phi[n_pf, ...]."""
+        up = self._phased(u)
+        lattice = u.shape[1:5]
+        nc = u.shape[-1]
+        even = self.dirac.even_mask[..., None]
+        lo, hi = self._bounds()
+        beta = self.sample_beta
+        phis = []
+        s_old = 0.0
+        for i in range(self.n_pf):
+            key, sub = jax.random.split(key)
+            xi = jnp.where(even, gaussian_spinor(sub, lattice, nc, nspin=1, dtype=u.dtype), 0.0)
+            s_old = s_old + jnp.real(inner(xi, xi))
+            if abs(beta - 1.0) < 1e-14:
+                phi = self._w(up)(xi)
+            else:
+                pf = rational.rational_power(beta, lo, hi, tol=self.rational_tol)
+                ys, _, _ = solvers.multishift_cg(
+                    self._w(up), xi, pf.shifts, eps=self.eps_cg, maxiter=self.max_cg
+                )
+                phi = pf.const * xi
+                for j, a in enumerate(pf.residues):
+                    phi = phi + a * ys[j]
+            phis.append(phi)
+        return s_old, jnp.stack(phis)
+
+    # -------------------------------------------------------------- action
+    def _pf_action(self):
+        lo, hi = self._bounds()
+        return rational.rational_inverse_power(
+            self.action_beta, lo, hi, tol=self.rational_tol
+        )
+
+    def action(self, u, phi):
+        up = self._phased(u)
+        pf = self._pf_action()
+        total = 0.0
+        for i in range(self.n_pf):
+            p = phi[i]
+            xs, _, _ = solvers.multishift_cg(
+                self._w(up), p, pf.shifts, eps=self.eps_cg, maxiter=self.max_cg
+            )
+            s = pf.const * jnp.real(inner(p, p))
+            for j, a in enumerate(pf.residues):
+                s = s + a * jnp.real(inner(p, xs[j]))
+            total = total + s
+        return total
+
+    # --------------------------------------------------------------- force
+    def force(self, u, phi, smear_fn=None):
+        """Exact RHMC force via partial fractions; smearing chain rule
+        by autodiff (see WilsonFermiAction.force)."""
+        pf = self._pf_action()
+        us = smear_fn(u) if smear_fn is not None else u
+        up = self._phased(us)
+        xs_all = []
+        for i in range(self.n_pf):
+            xs, _, _ = solvers.multishift_cg(
+                self._w(up), phi[i], pf.shifts, eps=self.eps_cg, maxiter=self.max_cg
+            )
+            xs_all.append(jax.lax.stop_gradient(xs))
+
+        residues = jnp.asarray(pf.residues)
+
+        def c(uu):
+            uus = smear_fn(uu) if smear_fn is not None else uu
+            uup = apply_boundary_phases(uus, self.dirac.bc)
+            acc = 0.0
+            for xs in xs_all:
+                for j in range(len(pf.residues)):
+                    acc = acc + residues[j] * jnp.real(
+                        inner(xs[j], self.dirac.apply_w_even(uup, xs[j]))
+                    )
+            return acc
+
+        g = jax.grad(c)(u)
+        return _project_force(u, g)

@@ -1,0 +1,172 @@
+"""Krylov solvers under jit: CG, BiCGStab, multi-shift CG.
+
+Counterpart of LatticeDiracOperators.jl's solve_DinvX! machinery
+(SURVEY.md 2.4.2; eps_CG / MaxCGstep plumbed at universe.jl:132-134).
+Convergence-dependent trip counts become lax.while_loop with the
+residual norm in the carry (SURVEY.md 7.4 "Krylov solvers under
+jit"); on a sharded mesh every inner product is a global psum —
+exactly the reference's MPI allreduce points.
+
+Stopping criterion: |r|^2 < eps * max(|b|^2, 1) — eps plays the role
+of the reference's eps_CG (default 1e-19, parameter_structs.jl:294).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _vdot(a, b):
+    return jnp.vdot(a, b)
+
+
+def cg(apply_a: Callable, b: jnp.ndarray, x0=None, eps: float = 1e-19, maxiter: int = 3000):
+    """Conjugate gradient for hermitian positive definite A.
+
+    Returns (x, iterations, final |r|^2).
+    """
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - apply_a(x) if x0 is not None else b
+    p = r
+    rsq = jnp.real(_vdot(r, r))
+    target = eps * jnp.maximum(jnp.real(_vdot(b, b)), 1.0)
+
+    def cond(carry):
+        x, r, p, rsq, it = carry
+        return jnp.logical_and(rsq > target, it < maxiter)
+
+    def body(carry):
+        x, r, p, rsq, it = carry
+        ap = apply_a(p)
+        alpha = rsq / jnp.real(_vdot(p, ap))
+        x = x + alpha * p
+        r = r - alpha * ap
+        rsq_new = jnp.real(_vdot(r, r))
+        beta = rsq_new / rsq
+        p = r + beta * p
+        return x, r, p, rsq_new, it + 1
+
+    x, r, p, rsq, it = jax.lax.while_loop(cond, body, (x, r, p, rsq, 0))
+    return x, it, rsq
+
+
+def bicgstab(apply_a: Callable, b: jnp.ndarray, x0=None, eps: float = 1e-19, maxiter: int = 3000):
+    """BiCGStab for general (non-hermitian) A, e.g. the Wilson D itself."""
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - apply_a(x) if x0 is not None else b
+    rhat = r
+    rho = _vdot(rhat, r)
+    p = r
+    rsq = jnp.real(_vdot(r, r))
+    target = eps * jnp.maximum(jnp.real(_vdot(b, b)), 1.0)
+
+    def cond(carry):
+        x, r, p, rho, rsq, it = carry
+        return jnp.logical_and(rsq > target, it < maxiter)
+
+    def body(carry):
+        x, r, p, rho, rsq, it = carry
+        v = apply_a(p)
+        alpha = rho / _vdot(rhat, v)
+        s = r - alpha * v
+        t = apply_a(s)
+        omega = _vdot(t, s) / _vdot(t, t)
+        x = x + alpha * p + omega * s
+        r = s - omega * t
+        rho_new = _vdot(rhat, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        rsq = jnp.real(_vdot(r, r))
+        return x, r, p, rho_new, rsq, it + 1
+
+    x, r, p, rho, rsq, it = jax.lax.while_loop(cond, body, (x, r, p, rho, rsq, 0))
+    return x, it, rsq
+
+
+def multishift_cg(
+    apply_a: Callable,
+    b: jnp.ndarray,
+    shifts,
+    eps: float = 1e-19,
+    maxiter: int = 3000,
+):
+    """Multi-shift CG: solve (A + sigma_k) x_k = b for all k at once.
+
+    The RHMC workhorse (SURVEY.md 2.4.2: Remez + multi-shift CG behind
+    FermiAction for Nf not in {4,8}). One Krylov space; shifted
+    iterates via the Jegerlehner zeta recurrence (hep-lat/9612014),
+    rewritten with the positive CG step a_n = rsq/(p,Ap):
+
+        zeta^{n+1} = zeta^n zeta^{n-1} a_{n-1} /
+            [ a_n b_{n-1} (zeta^{n-1} - zeta^n)
+              + zeta^{n-1} a_{n-1} (1 + sigma a_n) ]
+        x_s  += a_n (zeta^{n+1}/zeta^n) p_s
+        p_s   = zeta^{n+1} r_new + b_n (zeta^{n+1}/zeta^n)^2 p_s
+
+    shifts must be >= 0 and A positive definite. Convergence is
+    monitored on the unshifted residual (the slowest). Returns
+    (xs[k], iterations, |r|^2).
+    """
+    rdtype = jnp.float64 if b.dtype == jnp.complex128 else jnp.float32
+    sigma = jnp.asarray(shifts, dtype=rdtype)
+    ns = sigma.shape[0]
+
+    x = jnp.zeros((ns,) + b.shape, dtype=b.dtype)
+    r = b
+    p = r
+    ps = jnp.broadcast_to(b, (ns,) + b.shape).astype(b.dtype)
+    zeta = jnp.ones((ns,), dtype=rdtype)
+    zeta_prev = jnp.ones((ns,), dtype=rdtype)
+    a_prev = jnp.ones((), dtype=rdtype)
+    b_prev = jnp.zeros((), dtype=rdtype)
+    rsq = jnp.real(_vdot(r, r))
+    target = eps * jnp.maximum(jnp.real(_vdot(b, b)), 1.0)
+
+    def cond(carry):
+        (x, r, p, ps, zeta, zeta_prev, a_prev, b_prev, rsq, it) = carry
+        return jnp.logical_and(rsq > target, it < maxiter)
+
+    def body(carry):
+        (x, r, p, ps, zeta, zeta_prev, a_prev, b_prev, rsq, it) = carry
+        ap = apply_a(p)
+        a_n = rsq / jnp.real(_vdot(p, ap))
+        zeta_new_raw = (
+            zeta
+            * zeta_prev
+            * a_prev
+            / (
+                a_n * b_prev * (zeta_prev - zeta)
+                + zeta_prev * a_prev * (1.0 + sigma * a_n)
+            )
+        )
+        # freeze shifted systems whose residual |r_s|^2 ~ zeta^2 rsq is
+        # already below target — their zeta underflows geometrically and
+        # would poison the recurrence with 0/0 at tight tolerances
+        active = (zeta * zeta) * rsq > target
+        zeta_new = jnp.where(active, zeta_new_raw, zeta)
+        ratio = jnp.where(active, zeta_new_raw / jnp.where(active, zeta, 1.0), 0.0)
+        x = x + _bcast(a_n * ratio, ps).astype(b.dtype) * ps
+        r_new = r - a_n * ap
+        rsq_new = jnp.real(_vdot(r_new, r_new))
+        b_n = rsq_new / rsq
+        p_new = r_new + b_n * p
+        ps = (
+            _bcast(jnp.where(active, zeta_new, 0.0), ps).astype(b.dtype) * r_new[None]
+            + _bcast(b_n * ratio**2, ps).astype(b.dtype) * ps
+        )
+        return (x, r_new, p_new, ps, zeta_new, zeta, a_n, b_n, rsq_new, it + 1)
+
+    carry = (x, r, p, ps, zeta, zeta_prev, a_prev, b_prev, rsq, 0)
+    (x, r, p, ps, zeta, zeta_prev, a_prev, b_prev, rsq, it) = jax.lax.while_loop(
+        cond, body, carry
+    )
+    return x, it, rsq
+
+
+def _bcast(coeffs, field):
+    """Broadcast per-shift coefficients over field axes."""
+    return coeffs.reshape((-1,) + (1,) * (field.ndim - 1))

@@ -1,0 +1,232 @@
+"""SU(N) heatbath + overrelaxation via SU(2)-subgroup updates.
+
+TPU-native counterpart of Gaugefields.jl's Heatbath / Heatbath_update
+kernels (SURVEY.md 2.4.1; wrapper at
+/root/reference/src/updates/heatbath.jl). SU(N) links are updated
+through all N(N-1)/2 SU(2) subgroups with the Kennedy-Pendleton
+quasi-heatbath; the bounded rejection loop (ITERATION_MAX semantics,
+parameters_TOML.jl:115-116) is a vectorized lax.while_loop over the
+whole masked sublattice.
+
+Parallelization is by lattice *coloring* (SURVEY.md 2.5 row
+"even-odd"): plaquette-range actions use the standard even-odd
+checkerboard (2 colors, the reference's isevenodd path); longer-range
+actions automatically get a per-axis coloring with modulus > loop
+extent (falling back to a finer modulus when the extent does not
+divide the lattice), which keeps detailed balance exact for
+rectangle/chair actions — sites of equal color never share staple
+links.
+
+All sweeps are pure functions (u, key) -> (u, key), jitted once per
+(action, lattice) and replayed every trajectory.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latticeqcd_tpu.ops import gauge_action as ga
+from latticeqcd_tpu.ops import sun
+
+DIRS = 4
+
+
+def _color_moduli(action: ga.GaugeAction, lattice) -> tuple:
+    """Per-axis coloring modulus: smallest m > extent with m | L (else L)."""
+    ext = action.max_extent()
+    if ext == 1:
+        return (2, 2, 2, 2) if all(l % 2 == 0 for l in lattice) else tuple(lattice)
+    moduli = []
+    for l in lattice:
+        m = None
+        for cand in range(ext + 1, l + 1):
+            if l % cand == 0:
+                m = cand
+                break
+        moduli.append(m if m is not None else l)
+    return tuple(moduli)
+
+
+def _parity_masks(lattice, moduli, plaquette_eo: bool):
+    """List of boolean site masks; one masked sweep per color."""
+    grids = np.meshgrid(*(np.arange(l) for l in lattice), indexing="ij")
+    if plaquette_eo:
+        par = sum(grids) % 2
+        return [jnp.asarray(par == p) for p in (0, 1)]
+    masks = []
+    import itertools
+
+    for color in itertools.product(*(range(m) for m in moduli)):
+        m = np.ones(lattice, dtype=bool)
+        for g, c, mod in zip(grids, color, moduli):
+            m &= (g % mod) == c
+        masks.append(jnp.asarray(m))
+    return masks
+
+
+# ---------------------------------------------------------------------------
+# SU(2) quaternion helpers
+# ---------------------------------------------------------------------------
+
+
+def _block(m, i, j):
+    """2x2 subgroup block [[m_ii, m_ij], [m_ji, m_jj]] as quaternion comps."""
+    s11 = m[..., i, i]
+    s12 = m[..., i, j]
+    s21 = m[..., j, i]
+    s22 = m[..., j, j]
+    return s11, s12, s21, s22
+
+
+def _quat_of_block(s11, s12, s21, s22):
+    """x = (x0,x1,x2,x3) with Re tr(V S) = 2 (v0 x0 + v.x) for
+    V = v0 + i v.sigma: x0 = Re tr(S)/2, x_k = -Im tr(sigma_k S)/2."""
+    x0 = 0.5 * (jnp.real(s11) + jnp.real(s22))
+    x1 = -0.5 * (jnp.imag(s12) + jnp.imag(s21))
+    x2 = -0.5 * (jnp.real(s12) - jnp.real(s21))
+    x3 = -0.5 * (jnp.imag(s11) - jnp.imag(s22))
+    return x0, x1, x2, x3
+
+
+def _su2_from_quat(w0, w1, w2, w3, dtype):
+    """V = w0 + i w.sigma as a 2x2 complex matrix (..., 2, 2)."""
+    v11 = w0 + 1j * w3
+    v12 = w2 + 1j * w1
+    v21 = -w2 + 1j * w1
+    v22 = w0 - 1j * w3
+    row0 = jnp.stack([v11, v12], axis=-1)
+    row1 = jnp.stack([v21, v22], axis=-1)
+    return jnp.stack([row0, row1], axis=-2).astype(dtype)
+
+
+def _kp_sample_a0(key, alpha, mask, iteration_max):
+    """Kennedy-Pendleton: sample a0 in [-1,1] with density
+    ~ sqrt(1-a0^2) exp(alpha a0), vectorized over sites with a bounded
+    rejection loop (ITERATION_MAX)."""
+    shape = alpha.shape
+    alpha = jnp.maximum(alpha, 1e-30)
+
+    def cond(carry):
+        it, done, _, _ = carry
+        return jnp.logical_and(it < iteration_max, ~jnp.all(done))
+
+    def body(carry):
+        it, done, a0, key = carry
+        key, k1, k2, k3, k4 = jax.random.split(key, 5)
+        tiny = 1e-30
+        r1 = jax.random.uniform(k1, shape, minval=tiny, maxval=1.0)
+        r2 = jax.random.uniform(k2, shape, minval=0.0, maxval=1.0)
+        r3 = jax.random.uniform(k3, shape, minval=tiny, maxval=1.0)
+        r4 = jax.random.uniform(k4, shape, minval=0.0, maxval=1.0)
+        delta = -(jnp.log(r1) + jnp.cos(2 * jnp.pi * r2) ** 2 * jnp.log(r3)) / alpha
+        accept = (r4 * r4) <= (1.0 - 0.5 * delta)
+        newly = jnp.logical_and(accept, ~done)
+        a0 = jnp.where(newly, 1.0 - delta, a0)
+        done = jnp.logical_or(done, accept)
+        return it + 1, done, a0, key
+
+    done0 = ~mask  # only masked sites need a sample
+    a0_init = jnp.ones(shape, dtype=alpha.dtype)
+    _, _, a0, key = jax.lax.while_loop(cond, body, (0, done0, a0_init, key))
+    return jnp.clip(a0, -1.0, 1.0), key
+
+
+def _random_unit3(key, shape, dtype):
+    """Uniform points on S^2 (direction of the a-vector)."""
+    k1, k2 = jax.random.split(key)
+    ct = jax.random.uniform(k1, shape, minval=-1.0, maxval=1.0, dtype=dtype)
+    phi = jax.random.uniform(k2, shape, minval=0.0, maxval=2 * jnp.pi, dtype=dtype)
+    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+    return st * jnp.cos(phi), st * jnp.sin(phi), ct
+
+
+def _embed_apply(u_mu, v2, i, j, mask):
+    """U' = V_emb U on masked sites; V_emb is identity outside rows i,j."""
+    row_i = v2[..., 0, 0, None] * u_mu[..., i, :] + v2[..., 0, 1, None] * u_mu[..., j, :]
+    row_j = v2[..., 1, 0, None] * u_mu[..., i, :] + v2[..., 1, 1, None] * u_mu[..., j, :]
+    m = mask[..., None]
+    u_new = u_mu.at[..., i, :].set(jnp.where(m, row_i, u_mu[..., i, :]))
+    u_new = u_new.at[..., j, :].set(jnp.where(m, row_j, u_new[..., j, :]))
+    return u_new
+
+
+@dataclass(frozen=True)
+class Heatbath:
+    """Heatbath updater for a (quenched) gauge action.
+
+    Mirrors Heatbathupdate (updates/heatbath.jl): `sweep` is
+    heatbath!, `overrelax` is overrelaxation!; `update` applies one
+    heatbath sweep plus numOR overrelaxation sweeps and always
+    "accepts" (heatbath.jl:35-43).
+    """
+
+    action: ga.GaugeAction
+    iteration_max: int = 10**5
+    use_or: bool = False
+    num_or: int = 3
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def sweep(self, u: jnp.ndarray, key: jnp.ndarray):
+        return self._sweep_impl(u, key, or_mode=False)
+
+    @partial(jax.jit, static_argnums=0)
+    def overrelax(self, u: jnp.ndarray, key: jnp.ndarray):
+        return self._sweep_impl(u, key, or_mode=True)
+
+    def update(self, u: jnp.ndarray, key: jnp.ndarray):
+        """One full update: sweep + numOR overrelaxations; returns
+        (u, key, accepted=True)."""
+        u, key = self.sweep(u, key)
+        if self.use_or:
+            for _ in range(self.num_or):
+                u, key = self.overrelax(u, key)
+        return u, key, True
+
+    # ------------------------------------------------------------------
+    def _sweep_impl(self, u, key, or_mode: bool):
+        nc = self.action.nc
+        lattice = u.shape[1:5]
+        moduli = _color_moduli(self.action, lattice)
+        plaq_eo = self.action.max_extent() == 1 and all(l % 2 == 0 for l in lattice)
+        masks = _parity_masks(lattice, moduli, plaq_eo)
+        subgroups = [(i, j) for i in range(nc) for j in range(i + 1, nc)]
+
+        for mu in range(DIRS):
+            for mask in masks:
+                # staple of the current links; weight exp((2/NC) Re tr(U V))
+                v = ga.staples(self.action, u, mu)
+                k_mat = (2.0 / nc) * v
+                u_mu = u[mu]
+                for (i, j) in subgroups:
+                    w_full = sun.mul(u_mu, k_mat)
+                    s11, s12, s21, s22 = _block(w_full, i, j)
+                    x0, x1, x2, x3 = _quat_of_block(s11, s12, s21, s22)
+                    xi = jnp.sqrt(x0 * x0 + x1 * x1 + x2 * x2 + x3 * x3)
+                    xi_safe = jnp.maximum(xi, 1e-30)
+                    xh = [x0 / xi_safe, x1 / xi_safe, x2 / xi_safe, x3 / xi_safe]
+                    if or_mode:
+                        # microcanonical reflection: A = X^2 with
+                        # X = quaternion(x)/|x| (weight exp(xi Re tr(A X^dag))
+                        # invariant under W -> W^dag)
+                        w0 = xh[0] * xh[0] - (xh[1] ** 2 + xh[2] ** 2 + xh[3] ** 2)
+                        wv = [2.0 * xh[0] * xh[k] for k in (1, 2, 3)]
+                        v2 = _su2_from_quat(w0, wv[0], wv[1], wv[2], u.dtype)
+                    else:
+                        key, k_a0, k_dir = jax.random.split(key, 3)
+                        a0, k_a0 = _kp_sample_a0(k_a0, 2.0 * xi, mask, self.iteration_max)
+                        r = jnp.sqrt(jnp.maximum(0.0, 1.0 - a0 * a0))
+                        d1, d2, d3 = _random_unit3(k_dir, a0.shape, a0.dtype)
+                        # A = W X as 2x2 matrices (W from KP, X = S-projection)
+                        v_w = _su2_from_quat(a0, r * d1, r * d2, r * d3, u.dtype)
+                        v_x = _su2_from_quat(xh[0], xh[1], xh[2], xh[3], u.dtype)
+                        v2 = sun.mul(v_w, v_x)
+                    u_mu = _embed_apply(u_mu, v2, i, j, mask)
+                u = u.at[mu].set(u_mu)
+        return u, key

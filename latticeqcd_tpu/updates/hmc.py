@@ -68,9 +68,9 @@ class HMC:
         eta = None
         if not self.quench:
             us = self._smear(u)
-            xi, eta = self.fermi_action.sample_pseudofermion(us, k_ferm)
-            s_f_old = jnp.real(self.fermi_action.xi_norm(xi))
-            force_fermion = lambda uu: self._fermion_force(uu, eta)
+            s_f_old, eta = self.fermi_action.sample_pseudofermion(us, k_ferm)
+            smear_fn = self.smearing.smear if self.smearing is not None else None
+            force_fermion = lambda uu: self.fermi_action.force(uu, eta, smear_fn=smear_fn)
 
         sp_old = sun.kinetic_energy(h)
         sg_old = ga.action_value(self.action, u)
@@ -118,21 +118,3 @@ class HMC:
         if self.smearing is None:
             return u
         return self.smearing.smear(u)
-
-    def _fermion_force(self, u, eta):
-        """Fermion force on the bare links; when smearing is active the
-        chain rule through the stout stack is JAX autodiff (replacing
-        the reference's hand-written back_prop, standardMD.jl:216-224).
-        """
-        if self.smearing is None:
-            return self.fermi_action.force(u, eta)
-
-        def s_f(uu):
-            return jnp.real(self.fermi_action.action(self.smearing.smear(uu), eta))
-
-        g = jax.grad(s_f)(u)
-        out = []
-        for mu in range(4):
-            m = 1j * sun.mul(u[mu], jnp.swapaxes(g[mu], -1, -2))
-            out.append(-0.5 * sun.traceless_hermitian(m))
-        return jnp.stack(out, axis=0)

@@ -1,0 +1,106 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latticeqcd_tpu.ops import fields, solvers
+from latticeqcd_tpu.ops.dirac.staggered import StaggeredDirac
+from latticeqcd_tpu.ops.dirac.wilson import (
+    WilsonDirac,
+    apply_boundary_phases,
+    gaussian_spinor,
+    inner,
+    z4_spinor,
+)
+
+LAT = (4, 4, 4, 4)
+
+
+@pytest.fixture(scope="module")
+def u():
+    raw = fields.hot_start(LAT, 3, seed=11)
+    return apply_boundary_phases(raw)
+
+
+def test_wilson_gamma5_hermiticity(u):
+    d = WilsonDirac(kappa=0.141139)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    psi = gaussian_spinor(k1, LAT, 3)
+    phi = gaussian_spinor(k2, LAT, 3)
+    lhs = inner(phi, d.apply(u, psi))
+    rhs = inner(d.apply_dagger(u, phi), psi)
+    assert abs(complex(lhs - rhs)) < 1e-10 * abs(complex(lhs))
+
+
+def test_wilson_free_field_diagonal():
+    """U=1, zero momentum: D psi = (1 - 8 kappa r) psi for constant psi."""
+    ucold = apply_boundary_phases(fields.cold_start(LAT, 3), bc=(1, 1, 1, 1))
+    d = WilsonDirac(kappa=0.1, r=1.0, bc=(1, 1, 1, 1))
+    psi = jnp.ones(LAT + (4, 3), dtype=jnp.complex128)
+    out = d.apply(ucold, psi)
+    expected = (1 - 8 * 0.1) * psi
+    assert float(jnp.max(jnp.abs(out - expected))) < 1e-12
+
+
+def test_staggered_antihermitian_dslash(u):
+    d = StaggeredDirac(mass=0.5, lattice=LAT)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    psi = gaussian_spinor(k1, LAT, 3, nspin=1)
+    phi = gaussian_spinor(k2, LAT, 3, nspin=1)
+    lhs = inner(phi, d.dslash(u, psi))
+    rhs = -inner(d.dslash(u, phi), psi)
+    assert abs(complex(lhs - rhs)) < 1e-10 * max(1.0, abs(complex(lhs)))
+
+
+def test_staggered_w_even_spd(u):
+    d = StaggeredDirac(mass=0.5, lattice=LAT)
+    psi = gaussian_spinor(jax.random.PRNGKey(2), LAT, 3, nspin=1)
+    even = d.even_mask[..., None]
+    phi = jnp.where(even, psi, 0.0)
+    w = d.apply_w_even(u, phi)
+    q = jnp.real(inner(phi, w))
+    norm = jnp.real(inner(phi, phi))
+    assert float(q) >= 0.25 * float(norm)  # >= m^2 |phi|^2
+    # hermiticity
+    phi2 = jnp.where(even, gaussian_spinor(jax.random.PRNGKey(3), LAT, 3, nspin=1), 0.0)
+    lhs = inner(phi2, d.apply_w_even(u, phi))
+    rhs = inner(d.apply_w_even(u, phi2), phi)
+    assert abs(complex(lhs - rhs)) < 1e-10 * abs(complex(lhs))
+
+
+def test_cg_solves_staggered_w(u):
+    d = StaggeredDirac(mass=0.5, lattice=LAT)
+    even = d.even_mask[..., None]
+    b = jnp.where(even, gaussian_spinor(jax.random.PRNGKey(4), LAT, 3, nspin=1), 0.0)
+    x, it, rsq = solvers.cg(lambda v: d.apply_w_even(u, v), b, eps=1e-22)
+    res = d.apply_w_even(u, x) - b
+    assert float(jnp.real(inner(res, res))) < 1e-18
+    assert int(it) < 200
+
+
+def test_bicgstab_solves_wilson(u):
+    d = WilsonDirac(kappa=0.12)
+    b = gaussian_spinor(jax.random.PRNGKey(5), LAT, 3)
+    x, it, rsq = solvers.bicgstab(lambda v: d.apply(u, v), b, eps=1e-22)
+    res = d.apply(u, x) - b
+    assert float(jnp.real(inner(res, res))) < 1e-16
+    assert int(it) < 500
+
+
+def test_multishift_cg_matches_single_shifts(u):
+    d = StaggeredDirac(mass=0.3, lattice=LAT)
+    even = d.even_mask[..., None]
+    b = jnp.where(even, gaussian_spinor(jax.random.PRNGKey(6), LAT, 3, nspin=1), 0.0)
+    apply_a = lambda v: d.apply_w_even(u, v)
+    shifts = [0.0, 0.05, 0.7, 3.0]
+    xs, it, rsq = solvers.multishift_cg(apply_a, b, shifts, eps=1e-24)
+    for k, s in enumerate(shifts):
+        xk, _, _ = solvers.cg(lambda v: apply_a(v) + s * v, b, eps=1e-24)
+        diff = xs[k] - xk
+        assert float(jnp.max(jnp.abs(diff))) < 1e-8, (k, s)
+
+
+def test_z4_noise():
+    z = z4_spinor(jax.random.PRNGKey(7), LAT, 3, nspin=1)
+    assert float(jnp.max(jnp.abs(jnp.abs(z) - 1.0))) < 1e-14
+    assert abs(float(jnp.mean(jnp.real(z)))) < 0.05

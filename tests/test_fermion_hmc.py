@@ -1,0 +1,152 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latticeqcd_tpu.io import load_bridge_text
+from latticeqcd_tpu.ops import fields, gauge_action as ga, sun
+from latticeqcd_tpu.ops.dirac.staggered import StaggeredDirac
+from latticeqcd_tpu.ops.dirac.wilson import WilsonDirac
+from latticeqcd_tpu.ops.fermion_action import StaggeredFermiAction, WilsonFermiAction
+from latticeqcd_tpu.updates import HMC
+
+LAT = (4, 4, 4, 4)
+
+
+def _u():
+    return fields.hot_start(LAT, 3, seed=21)
+
+
+def _fd_check(fa, u, key, tol=2e-4):
+    """dS_f/dt along a random algebra direction == -2 tr(H F)."""
+    s_old, phi = fa.sample_pseudofermion(u, key)
+    h = sun.random_hermitian_momentum(jax.random.PRNGKey(99), u.shape[:-2], 3)
+
+    def s_along(t):
+        e = sun.expi_hermitian(h, t)
+        ut = jnp.stack([sun.mul(e[mu], u[mu]) for mu in range(4)])
+        return float(fa.action(ut, phi))
+
+    dt = 1e-4
+    ds_num = (s_along(dt) - s_along(-dt)) / (2 * dt)
+    f = fa.force(u, phi)
+    ds_force = -2.0 * float(jnp.sum(jnp.real(sun.trace(sun.mul(h, f)))))
+    assert abs(ds_num - ds_force) < tol * max(1.0, abs(ds_num)), (ds_num, ds_force)
+
+
+def test_wilson_force_finite_difference():
+    fa = WilsonFermiAction(WilsonDirac(kappa=0.141139), eps_cg=1e-24)
+    _fd_check(fa, _u(), jax.random.PRNGKey(0))
+
+
+def test_staggered_nf4_force_finite_difference():
+    fa = StaggeredFermiAction(StaggeredDirac(mass=0.5, lattice=LAT), nf=4, eps_cg=1e-24)
+    _fd_check(fa, _u(), jax.random.PRNGKey(1))
+
+
+def test_staggered_nf3_rhmc_force_finite_difference():
+    fa = StaggeredFermiAction(StaggeredDirac(mass=0.5, lattice=LAT), nf=3, eps_cg=1e-24)
+    _fd_check(fa, _u(), jax.random.PRNGKey(2))
+
+
+def test_staggered_nf6_two_pf_force_finite_difference():
+    fa = StaggeredFermiAction(StaggeredDirac(mass=0.5, lattice=LAT), nf=6, eps_cg=1e-24)
+    _fd_check(fa, _u(), jax.random.PRNGKey(3))
+
+
+@pytest.mark.parametrize("nf", [1, 2, 3, 4, 5, 8])
+def test_staggered_sampling_action_consistency(nf):
+    """S_f(phi; U) right after sampling must equal |xi|^2 (up to the
+    rational tolerance) — validates the W^(Nf/8) / W^(-Nf/4) adjoint
+    pair and the multishift solver end to end."""
+    u = _u()
+    fa = StaggeredFermiAction(
+        StaggeredDirac(mass=0.5, lattice=LAT), nf=nf, eps_cg=1e-26, rational_tol=1e-12
+    )
+    s_old, phi = fa.sample_pseudofermion(u, jax.random.PRNGKey(4))
+    s_eval = fa.action(u, phi)
+    assert abs(float(s_old) - float(s_eval)) < 1e-6 * float(s_old), (nf, float(s_old), float(s_eval))
+
+
+def test_wilson_sampling_action_consistency():
+    u = _u()
+    fa = WilsonFermiAction(WilsonDirac(kappa=0.141139), eps_cg=1e-26)
+    s_old, phi = fa.sample_pseudofermion(u, jax.random.PRNGKey(5))
+    s_eval = fa.action(u, phi)
+    assert abs(float(s_old) - float(s_eval)) < 1e-8 * float(s_old)
+
+
+@pytest.mark.slow
+def test_wilson_hmc_golden(reference_dir):
+    """test_wilson scenario: SW nested leapfrog, kappa=0.141139,
+    golden plaquette 0.5784043949012552 at 10% (BASELINE.md #7)."""
+    conf = os.path.join(
+        reference_dir,
+        "test/confs_HMC_L04040404_beta5.7_Wilson_kappa0.141139/conf_00000100.ildg.txt",
+    )
+    u = load_bridge_text(conf, LAT, 3)
+    fa = WilsonFermiAction(WilsonDirac(kappa=0.141139), eps_cg=1e-19)
+    hmc = HMC(
+        action=ga.wilson_gauge_action(3, 5.7),
+        dtau=0.05,
+        md_steps=20,
+        sexton_weingarten=True,
+        nsw=10,
+        fermi_action=fa,
+    )
+    key = jax.random.PRNGKey(111)
+    n_acc = 0
+    for _ in range(10):
+        u, key, st = hmc.step(u, key)
+        n_acc += int(st["accepted"])
+    plaq = float(ga.mean_plaquette(u))
+    golden = 0.5784043949012552
+    assert abs(plaq - golden) / golden < 0.1, plaq
+    assert n_acc >= 5
+
+
+@pytest.mark.slow
+def test_staggered_nf4_hmc_golden(reference_dir):
+    """test_staggered scenario: Nf=4 mass=0.5, golden 0.5734383856968012."""
+    conf = os.path.join(
+        reference_dir,
+        "test/confs_HMC_L04040404_beta5.7_Staggered_mass0.5/conf_00000100.ildg.txt",
+    )
+    u = load_bridge_text(conf, LAT, 3)
+    fa = StaggeredFermiAction(StaggeredDirac(mass=0.5, lattice=LAT), nf=4, eps_cg=1e-19)
+    hmc = HMC(action=ga.wilson_gauge_action(3, 5.7), dtau=0.025, md_steps=40, fermi_action=fa)
+    key = jax.random.PRNGKey(111)
+    n_acc = 0
+    for _ in range(10):
+        u, key, st = hmc.step(u, key)
+        n_acc += int(st["accepted"])
+    plaq = float(ga.mean_plaquette(u))
+    golden = 0.5734383856968012
+    assert abs(plaq - golden) / golden < 0.1, plaq
+    assert n_acc >= 5
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "nf,confdir,golden",
+    [
+        (2, "confs_HMC_L04040404_beta5.7_Staggered_mass0.5_Nf2", 0.56287171870089),
+        (3, "confs_HMC_L04040404_beta5.7_Staggered_mass0.5_Nf3", 0.5595757232711884),
+    ],
+)
+def test_staggered_rhmc_golden(reference_dir, nf, confdir, golden):
+    """test_Nf2/test_Nf3: RHMC (BASELINE.md #9, #10)."""
+    conf = os.path.join(reference_dir, "test", confdir, "conf_00000100.ildg.txt")
+    u = load_bridge_text(conf, LAT, 3)
+    fa = StaggeredFermiAction(StaggeredDirac(mass=0.5, lattice=LAT), nf=nf, eps_cg=1e-19)
+    hmc = HMC(action=ga.wilson_gauge_action(3, 5.7), dtau=0.05, md_steps=20, fermi_action=fa)
+    key = jax.random.PRNGKey(111)
+    n_acc = 0
+    for _ in range(10):
+        u, key, st = hmc.step(u, key)
+        n_acc += int(st["accepted"])
+    plaq = float(ga.mean_plaquette(u))
+    assert abs(plaq - golden) / golden < 0.1, plaq
+    assert n_acc >= 5
