@@ -111,6 +111,93 @@ class WilsonFermiAction:
 
 
 # ---------------------------------------------------------------------------
+# Domain-wall (2 flavor, Pauli-Villars regulated)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DomainwallFermiAction:
+    """S = phi^dag D_PV (D(m)^dag D(m))^-1 D_PV^dag phi,
+    weight det(D(m)^dag D(m)) / det(D_PV^dag D_PV), D_PV = D_dw(m=1).
+
+    The standard 2-flavor domain-wall measure (README.md:103
+    "Standard Domainwall (experimental)"); heavy 5D bulk modes cancel
+    between numerator and Pauli-Villars.
+    """
+
+    dirac: "object"  # DomainwallDirac at physical mass m
+    eps_cg: float = 1e-19
+    max_cg: int = 3000
+
+    def _pv(self):
+        from dataclasses import replace
+
+        return replace(self.dirac, mass=1.0)
+
+    def _phased(self, u):
+        return apply_boundary_phases(u, self.dirac.bc)
+
+    def sample_pseudofermion(self, u, key):
+        """xi Gaussian 5D; phi = (D_PV^dag)^-1 D(m)^dag xi so that
+        S(phi) = |xi|^2 exactly. The PV solve uses CG on
+        D_PV^dag D_PV via phi = D_PV w."""
+        up = self._phased(u)
+        d = self.dirac
+        pv = self._pv()
+        lattice = u.shape[1:5]
+        nc = u.shape[-1]
+        rdtype = jnp.float64 if u.dtype == jnp.complex128 else jnp.float32
+        k1, k2 = jax.random.split(key)
+        shape = (d.l5,) + tuple(lattice) + (4, nc)
+        xi = (
+            jax.random.normal(k1, shape, dtype=rdtype)
+            + 1j * jax.random.normal(k2, shape, dtype=rdtype)
+        ).astype(u.dtype) / np.sqrt(2.0)
+        rhs = d.apply_dagger(up, xi)
+        w, _, _ = solvers.cg(
+            lambda v: pv.apply_ddag_d(up, v), rhs, eps=self.eps_cg, maxiter=self.max_cg
+        )
+        phi = pv.apply(up, w)
+        return jnp.real(inner(xi, xi)), phi
+
+    def action(self, u, phi):
+        up = self._phased(u)
+        d = self.dirac
+        pv = self._pv()
+        b = pv.apply_dagger(up, phi)
+        x, _, _ = solvers.cg(
+            lambda v: d.apply_ddag_d(up, v), b, eps=self.eps_cg, maxiter=self.max_cg
+        )
+        return jnp.real(inner(b, x))
+
+    def force(self, u, phi, smear_fn=None):
+        """dS = 2 Re<phi, dD_PV X> - <X, d(D^dag D) X> with
+        X = (D^dag D)^-1 D_PV^dag phi held fixed (implicit diff)."""
+        us = smear_fn(u) if smear_fn is not None else u
+        up = self._phased(us)
+        d = self.dirac
+        pv = self._pv()
+        b = pv.apply_dagger(up, phi)
+        x, _, _ = solvers.cg(
+            lambda v: d.apply_ddag_d(up, v), b, eps=self.eps_cg, maxiter=self.max_cg
+        )
+        x = jax.lax.stop_gradient(x)
+
+        def c(uu):
+            uus = smear_fn(uu) if smear_fn is not None else uu
+            uup = apply_boundary_phases(uus, d.bc)
+            t1 = 2.0 * jnp.real(inner(phi, pv.apply(uup, x)))
+            dx = d.apply(uup, x)
+            t2 = jnp.real(inner(dx, dx))
+            return t1 - t2
+
+        g = jax.grad(c)(u)
+        # dS = +dc here (c built so its derivative IS dS), so
+        # Hdot = -(1/2) proj_TH(i U g^T) = -_project_force(u, g)
+        return -_project_force(u, g)
+
+
+# ---------------------------------------------------------------------------
 # Staggered Nf (1..8), RHMC as needed
 # ---------------------------------------------------------------------------
 

@@ -68,6 +68,30 @@ def test_hmc_step_preserves_group():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize(
+    "nc,beta,confdir,golden",
+    [
+        # beta per scenario from test02/test03.toml (su2: 1.9, su4: 9.0)
+        (2, 1.9, "confs_HMC_L04040404_beta5.7_quenched_su2", 0.46105200452156847),
+        (4, 9.0, "confs_HMC_L04040404_beta5.7_quenched_su4", 0.34489506725603436),
+    ],
+)
+def test_hmc_quenched_su2_su4_golden(reference_dir, nc, beta, confdir, golden):
+    """test02/test03 scenarios (BASELINE.md #1, #3)."""
+    conf = os.path.join(reference_dir, "test", confdir, "conf_00000100.ildg.txt")
+    u = load_bridge_text(conf, LAT, nc)
+    hmc = HMC(action=ga.wilson_gauge_action(nc, beta), dtau=1.0 / 15, md_steps=15)
+    key = jax.random.PRNGKey(111)
+    n_acc = 0
+    for _ in range(10):
+        u, key, st = hmc.step(u, key)
+        n_acc += int(st["accepted"])
+    plaq = float(ga.mean_plaquette(u))
+    assert abs(plaq - golden) / golden < 0.1, plaq
+    assert n_acc >= 5
+
+
+@pytest.mark.slow
 def test_hmc_quenched_su3_reproduces_golden(reference_dir):
     """test01.toml scenario: 10 trajectories from the checked-in config,
     final plaquette within the reference's 10% golden band
