@@ -1,0 +1,86 @@
+"""Fermionic measurements: chiral condensate, pion correlator.
+
+Mirrors the reference's archived kernels (SURVEY.md 2.4.3):
+
+* Chiral condensate (measure_chiral_condensate.jl:164-204): Nr Z4
+  noise vectors r, pbp = <Re <r, D^-1 r>>/NV * factor, factor = Nf/4
+  for staggered (Nfbase taste counting, :45-56), 1 for Wilson.
+* Pion correlator (measure_Pion_correlator.jl:188-330): NC*Nspinor
+  point-source inversions at the origin, S_beta^alpha(x), and
+  C_pi(t) = sum_x,alpha,beta |S|^2 via gamma5-hermiticity. (The
+  archived loop indexes the sink with the source's spin-color —
+  an apparent transcription bug; we implement the standard full
+  sink-index sum.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latticeqcd_tpu.ops import solvers
+from latticeqcd_tpu.ops.dirac.staggered import StaggeredDirac
+from latticeqcd_tpu.ops.dirac.wilson import (
+    WilsonDirac,
+    apply_boundary_phases,
+    inner,
+    z4_spinor,
+)
+
+
+def _solve_dinv(dirac, up, b, eps, maxiter):
+    """solve_DinvX!: D x = b via CGNE (D^dag D x = D^dag b)."""
+    rhs = dirac.apply_dagger(up, b)
+    x, it, rsq = solvers.cg(
+        lambda v: dirac.apply_ddag_d(up, v), rhs, eps=eps, maxiter=maxiter
+    )
+    return x
+
+
+def chiral_condensate(u, dirac, key, nr: int = 10, nf_factor: float = 1.0,
+                      eps: float = 1e-19, maxiter: int = 3000):
+    """Returns (pbp_value, per-noise list)."""
+    up = apply_boundary_phases(u, dirac.bc)
+    lattice = u.shape[1:5]
+    nc = u.shape[-1]
+    nspin = 1 if isinstance(dirac, StaggeredDirac) else 4
+    nv = int(np.prod(lattice))
+    vals = []
+    total = 0.0
+    for _ in range(nr):
+        key, sub = jax.random.split(key)
+        r = z4_spinor(sub, lattice, nc, nspin=nspin, dtype=u.dtype)
+        p = _solve_dinv(dirac, up, r, eps, maxiter)
+        tmp = jnp.real(inner(r, p))
+        vals.append(float(tmp) / nv)
+        total = total + tmp
+    pbp = float(total) / nr / nv * nf_factor
+    return pbp, vals
+
+
+def pion_correlator(u, dirac, eps: float = 1e-19, maxiter: int = 3000):
+    """C_pi(t) from point-source propagators at the origin."""
+    up = apply_boundary_phases(u, dirac.bc)
+    lattice = u.shape[1:5]
+    nc = u.shape[-1]
+    nspin = 1 if isinstance(dirac, StaggeredDirac) else 4
+    nt = lattice[3]
+    c = jnp.zeros((nt,), dtype=jnp.float64)
+    for ic in range(nc):
+        for isp in range(nspin):
+            if nspin == 1:
+                b = jnp.zeros(tuple(lattice) + (nc,), dtype=u.dtype)
+                b = b.at[0, 0, 0, 0, ic].set(1.0)
+            else:
+                b = jnp.zeros(tuple(lattice) + (nspin, nc), dtype=u.dtype)
+                b = b.at[0, 0, 0, 0, isp, ic].set(1.0)
+            prop = _solve_dinv(dirac, up, b, eps, maxiter)
+            # sum over sink indices and space: |S|^2 per time slice
+            mag2 = jnp.abs(prop) ** 2
+            axes = (0, 1, 2) + tuple(range(4, mag2.ndim))
+            c = c + jnp.sum(mag2, axis=axes)
+    return np.asarray(c)

@@ -44,22 +44,23 @@ def hot_start(lattice, nc: int, seed: int = 0, dtype=jnp.complex128) -> jnp.ndar
 def one_instanton_start(lattice, nc: int, dtype=jnp.complex128) -> jnp.ndarray:
     """One-instanton SU(2) start (condition="one instanton").
 
-    Discretized BPST instanton centered on the lattice, embedded in
-    the upper-left SU(2) block for NC > 2 (README.md:106 capability).
-    U_mu(x) = exp(i A_mu(x + mu/2) . sigma) in regular gauge with
-    A^a_mu = 2 eta^a_{mu nu} (x-z)_nu / ((x-z)^2 + rho^2).
+    Discretized BPST instanton centered mid-lattice, embedded in the
+    upper-left SU(2) block for NC > 2 (README.md:106 capability).
+    Singular gauge (decays ~1/x^3, so the periodic wrap is smooth and
+    the configuration carries lattice topological charge ~ 1):
+    A^a_mu = 2 etabar^a_{mu nu} (x-z)_nu rho^2 / ((x-z)^2 ((x-z)^2 + rho^2)).
     """
     nx, ny, nz, nt = lattice
-    rho = min(lattice) / 3.0
+    rho = min(lattice) / 4.0
     center = np.array([nx / 2 - 0.5, ny / 2 - 0.5, nz / 2 - 0.5, nt / 2 - 0.5])
-    # 't Hooft symbol eta^a_{mu nu}, a=1..3, mu,nu=1..4 (index 3 = time)
+    # anti-'t Hooft symbol etabar^a_{mu nu}, a=1..3, mu,nu=1..4 (3 = time)
     eta = np.zeros((3, 4, 4))
     for a in range(3):
         for mu in range(3):
             for nu in range(3):
                 eta[a, mu, nu] = float(np.sign((a - mu) * (mu - nu) * (nu - a))) if len({a, mu, nu}) == 3 else 0.0
-        eta[a, a, 3] = 1.0
-        eta[a, 3, a] = -1.0
+        eta[a, a, 3] = -1.0
+        eta[a, 3, a] = 1.0
     coords = np.stack(
         np.meshgrid(*(np.arange(n) for n in lattice), indexing="ij"), axis=-1
     ).astype(np.float64)
@@ -71,9 +72,13 @@ def one_instanton_start(lattice, nc: int, dtype=jnp.complex128) -> jnp.ndarray:
         mid = coords.copy()
         mid[..., mu] += 0.5
         d = mid - center
-        r2 = np.sum(d * d, axis=-1) + rho * rho
-        # A^a_mu = 2 eta^a_{mu nu} d_nu / r2
-        amu = 2.0 * np.einsum("an,...n->a...", eta[:, mu, :], d) / r2
+        x2 = np.sum(d * d, axis=-1)
+        amu = (
+            2.0
+            * np.einsum("an,...n->a...", eta[:, mu, :], d)
+            * rho**2
+            / (x2 * (x2 + rho * rho))
+        )
         x = 1j * np.einsum("a...,aij->...ij", amu, sigma)
         # exact 2x2 exponential of antihermitian traceless x
         av = np.imag(x[..., 0, 0])

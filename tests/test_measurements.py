@@ -1,0 +1,115 @@
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latticeqcd_tpu.io import load_bridge_text
+from latticeqcd_tpu.measurements import MeasurementSet, fermionic, observables
+from latticeqcd_tpu.ops import fields, gauge_action as ga
+from latticeqcd_tpu.ops.dirac.staggered import StaggeredDirac
+from latticeqcd_tpu.ops.dirac.wilson import WilsonDirac
+from latticeqcd_tpu.smearing import gradientflow
+
+LAT = (4, 4, 4, 4)
+
+
+def test_polyakov_cold_is_one():
+    u = fields.cold_start(LAT, 3)
+    p = complex(observables.polyakov_loop(u))
+    assert abs(p - 1.0) < 1e-13
+
+
+def test_polyakov_gauge_invariant_magnitude():
+    u = fields.hot_start(LAT, 3, seed=51)
+    p = complex(observables.polyakov_loop(u))
+    assert abs(p) < 1.0
+
+
+def test_topological_charge_cold_zero():
+    u = fields.cold_start(LAT, 3)
+    for kind in ("plaquette", "clover", "improved"):
+        assert abs(float(observables.topological_charge(u, kind))) < 1e-10
+
+
+def test_topological_charge_instanton():
+    """One-instanton SU(2) start carries |Q| ~ 1 once a short flow
+    (t=0.1) removes the singular-gauge core artifact."""
+    u = fields.one_instanton_start((8, 8, 8, 8), 2)
+    gf = gradientflow(2, nflow=5, eps=0.02)
+    uf = gf.flow(u)
+    q = float(observables.topological_charge(uf, "improved"))
+    assert 0.7 < abs(q) < 1.4, q
+
+
+def test_energy_density_finite_and_decreases_under_flow():
+    u = fields.hot_start(LAT, 3, seed=52)
+    e0 = float(observables.energy_density(u))
+    gf = gradientflow(3, nflow=10, eps=0.02)
+    e1 = float(observables.energy_density(gf.flow(u)))
+    assert np.isfinite(e0) and np.isfinite(e1)
+
+
+def test_wilson_loop_cold_is_one():
+    u = fields.cold_start(LAT, 3)
+    for (r, t) in [(1, 1), (2, 1), (2, 2)]:
+        assert abs(float(observables.wilson_loop_rt(u, r, t)) - 1.0) < 1e-12
+    # 1x1 wilson loop == plaquette average on any config
+    uh = fields.hot_start(LAT, 3, seed=53)
+    w11 = float(observables.wilson_loop_rt(uh, 1, 1))
+    # plaquette averages over 6 planes; w11 only over 3 spatial-temporal
+    assert abs(w11) < 1.0
+
+
+def test_pion_correlator_free_field_decays():
+    u = fields.cold_start(LAT, 3)
+    d = WilsonDirac(kappa=0.12)
+    c = fermionic.pion_correlator(u, d, eps=1e-22)
+    assert c.shape == (4,)
+    assert c[0] > c[1] > 0
+    # time reflection symmetry (periodic lattice, antiperiodic quark BC)
+    assert abs(c[1] - c[3]) < 1e-6 * c[1]
+
+
+def test_chiral_condensate_staggered_positive(reference_dir):
+    conf = os.path.join(
+        reference_dir,
+        "test/confs_HMC_L04040404_beta5.7_Staggered_mass0.5/conf_00000100.ildg.txt",
+    )
+    u = load_bridge_text(conf, LAT, 3)
+    d = StaggeredDirac(mass=0.5, lattice=LAT)
+    import jax
+
+    pbp, vals = fermionic.chiral_condensate(u, d, jax.random.PRNGKey(0), nr=4, nf_factor=1.0)
+    assert len(vals) == 4
+    # heavy staggered quark: pbp ~ Nc * <1/(m + ...)> > 0
+    assert 0.5 < pbp < 6.0, pbp
+
+
+def test_measurement_set_scheduling_and_files(tmp_path, reference_dir):
+    conf = os.path.join(
+        reference_dir,
+        "test/confs_HMC_L04040404_beta5.7_quenched_su3/conf_00000100.ildg.txt",
+    )
+    u = load_bridge_text(conf, LAT, 3)
+    methods = [
+        {"methodname": "Plaquette", "measure_every": 1},
+        {"methodname": "Polyakov_loop", "measure_every": 2},
+        {
+            "methodname": "Topological_charge",
+            "measure_every": 1,
+            "kinds_of_topological_charge": ["plaquette", "clover"],
+        },
+        {"methodname": "Energy_density", "measure_every": 1},
+    ]
+    ms = MeasurementSet.from_methods(methods, measuredir=str(tmp_path))
+    out1 = ms.calc_measurement_values(1, u)
+    out2 = ms.calc_measurement_values(2, u)
+    ms.close()
+    assert len(out1) == 3  # polyakov skipped at itrj=1
+    assert len(out2) == 4
+    plaq_lines = open(tmp_path / "Plaquette.txt").read().strip().split("\n")
+    assert len(plaq_lines) == 2
+    assert plaq_lines[0].endswith("# plaq")
+    topo_line = open(tmp_path / "Topological_charge.txt").read().split("\n")[0]
+    assert "Qplaq" in topo_line and "Qclover" in topo_line and "Qimproved" in topo_line
