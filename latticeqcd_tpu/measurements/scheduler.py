@@ -200,7 +200,11 @@ class MeasurementSet:
     measurements: List[Measurement] = field(default_factory=list)
 
     @classmethod
-    def from_methods(cls, method_dicts, measuredir: Optional[str] = None):
+    def from_methods(cls, method_dicts, measuredir: Optional[str] = None, suffix: str = ""):
+        """`suffix` distinguishes flowed-measurement files from regular
+        ones of the same methodname (the reference opens the same
+        <methodname>.txt twice, which clobbers; we write
+        <methodname><suffix>.txt instead)."""
         ms = []
         for method in method_dicts or []:
             name = method.get("methodname")
@@ -210,7 +214,7 @@ class MeasurementSet:
             fp = None
             if measuredir is not None:
                 os.makedirs(measuredir, exist_ok=True)
-                fp = open(os.path.join(measuredir, f"{name}.txt"), "w")
+                fp = open(os.path.join(measuredir, f"{name}{suffix}.txt"), "w")
             ms.append(_REGISTRY[name](name=name, interval=interval, params=dict(method), fp=fp))
         return cls(measurements=ms)
 

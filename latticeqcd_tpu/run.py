@@ -1,0 +1,41 @@
+"""CLI entry: python -m latticeqcd_tpu.run parameters.toml
+
+Counterpart of src/run.jl (SURVEY.md layer L7;
+/root/reference/src/run.jl:19-27).
+"""
+
+import sys
+import time
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 1:
+        print("usage: python -m latticeqcd_tpu.run <parameters.toml> [--f64|--f32]")
+        return 2
+    dtype_flag = "--f64"
+    args = [a for a in argv if not a.startswith("--")]
+    flags = [a for a in argv if a.startswith("--")]
+    if "--f32" in flags:
+        dtype_flag = "--f32"
+
+    import jax
+
+    if dtype_flag == "--f64":
+        jax.config.update("jax_enable_x64", True)
+        dtype = "complex128"
+    else:
+        dtype = "complex64"
+    import jax.numpy as jnp
+
+    from latticeqcd_tpu.system.lqcd import run_lqcd_file
+
+    t0 = time.time()
+    plaq = run_lqcd_file(args[0], dtype=jnp.dtype(dtype))
+    print(f"final plaquette = {plaq}")
+    print(f"elapsed {time.time()-t0:.2f} s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,152 @@
+"""The simulation driver: trajectory loop, saving, measurements, flow.
+
+TPU-native mirror of run_LQCD_file (SURVEY.md 3.1;
+/root/reference/src/system/lqcd.jl:43-195): build Params -> Univ ->
+updater -> gradient flow -> measurement sets, then loop
+initialtrj..Nsteps: update! -> save -> measure -> flowed
+measurements -> acceptance log. Returns the final mean plaquette
+(lqcd.jl:186-193, the value the test suite checks).
+
+Improvements over the reference (SURVEY.md section 5): checkpoints can
+include the PRNG key and trajectory counter (io/native.py) so resume
+is bitwise, not just statistical.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from latticeqcd_tpu._version import __version__
+from latticeqcd_tpu.io import save_bridge_text, save_ildg, save_u
+from latticeqcd_tpu.measurements import MeasurementSet
+from latticeqcd_tpu.ops import gauge_action as ga
+from latticeqcd_tpu.smearing import gradientflow
+from latticeqcd_tpu.system.params import Params, construct_params_from_toml
+from latticeqcd_tpu.system.universe import build_universe
+from latticeqcd_tpu.updates.factory import updatemethod
+from latticeqcd_tpu.updates.fileloading import GivenConfigurations
+from latticeqcd_tpu.updates.heatbath import Heatbath
+from latticeqcd_tpu.updates.hmc import HMC
+
+
+def _do_update(updater, u, key):
+    if isinstance(updater, HMC):
+        return updater.step(u, key)
+    u, key, accepted = updater.update(u, key)
+    return u, key, {"accepted": accepted}
+
+
+class Savedata:
+    """saveU_every-gated config saving (lqcd.jl:198-247)."""
+
+    def __init__(self, saveU_format, saveU_dir, saveU_every, update_method, vp):
+        self.issaved = saveU_format is not None and update_method != "Fileloading"
+        self.fmt = saveU_format
+        self.dir = saveU_dir
+        self.every = saveU_every
+        if self.issaved:
+            vp.println_verbose_level1(f"save gaugefields U every {saveU_every} trajectory")
+
+    def save(self, u, itrj):
+        if not self.issaved or itrj % self.every != 0:
+            return
+        tag = f"{itrj:08d}"
+        if self.fmt == "JLD" or self.fmt == "NPZ":
+            save_u(os.path.join(self.dir, f"conf_{tag}.npz"), u)
+        elif self.fmt == "ILDG":
+            save_ildg(os.path.join(self.dir, f"conf_{tag}.ildg"), u)
+        elif self.fmt == "BridgeText":
+            save_bridge_text(os.path.join(self.dir, f"conf_{tag}.txt"), u)
+        else:
+            raise ValueError(f"saveU_format {self.fmt!r} is not supported")
+
+
+def run_lqcd_file(filename, make_dirs: bool = True, dtype=jnp.complex128):
+    """run_LQCD_file: accepts a TOML path (or a parsed dict/Params)."""
+    if isinstance(filename, Params):
+        parameters = filename
+    else:
+        ext = os.path.splitext(str(filename))[1]
+        if ext not in (".toml", ""):
+            raise ValueError(f"{filename} is not supported. use a TOML format.")
+        parameters = construct_params_from_toml(filename, make_dirs=make_dirs)
+    return run_lqcd_params(parameters, make_dirs=make_dirs, dtype=dtype)
+
+
+def run_lqcd_params(p: Params, make_dirs: bool = True, dtype=jnp.complex128):
+    key = jax.random.PRNGKey(p.randomseed)
+
+    univ = build_universe(p, dtype=dtype)
+    vp = univ.verbose_print
+
+    vp.println_verbose_level1("# ", os.getcwd())
+    vp.println_verbose_level1("# ", datetime.datetime.now())
+    vp.println_verbose_level1(f"latticeqcd_tpu {__version__} (jax {jax.__version__})")
+
+    updater = updatemethod(p, univ)
+    nsteps = p.Nsteps
+    if isinstance(updater, GivenConfigurations):
+        nsteps = updater.nsteps
+
+    # gradient flow setup (lqcd.jl:95-99)
+    gf = gradientflow(univ.NC, nflow=1, eps=p.eps_flow)
+    dtau_flow = p.Nflow * p.eps_flow
+
+    measuredir = p.measuredir if (p.measuredir and make_dirs) else None
+    measurements = MeasurementSet.from_methods(p.measurement_methods, measuredir=measuredir)
+    measurements_for_flow = MeasurementSet.from_methods(
+        p.measurements_for_flow, measuredir=measuredir, suffix="_flow"
+    )
+
+    u = univ.u
+    measurements.calc_measurement_values(0, u)  # trajectory-0 (lqcd.jl:119)
+    savedata = Savedata(p.saveU_format, p.saveU_dir, p.saveU_every, p.update_method, vp)
+
+    numaccepts = 0
+    t_all = time.time()
+    for itrj in range(p.initialtrj, nsteps + 1):
+        vp.println_verbose_level1(f"# itrj = {itrj}")
+        t0 = time.time()
+        u, key, stats = _do_update(updater, u, key)
+        accepted = bool(stats["accepted"])
+        vp.println_verbose_level1(f"Update: Elapsed time {time.time()-t0} [s]")
+        if "dH" in stats:
+            vp.println_verbose_level2(
+                f"Snew - Sold = {float(stats['dH'])}; "
+                + ("Accepted" if accepted else "Rejected")
+            )
+        if accepted:
+            numaccepts += 1
+        savedata.save(u, itrj)
+
+        for st in measurements.calc_measurement_values(itrj, u):
+            pass  # measurement files and verbose handled inside
+
+        # flowed measurements (lqcd.jl:150-165)
+        if measurements_for_flow.measurements and p.numflow > 0:
+            usmr = u
+            for istep in range(1, p.numflow + 1):
+                for _ in range(p.Nflow):
+                    usmr = gf.flow(usmr)
+                tau = istep * dtau_flow
+                additional = f"{itrj} {istep} {tau} "
+                for m in measurements_for_flow.measurements:
+                    if m.interval > 0 and istep % m.interval == 0:
+                        m.measure(usmr, itrj, additional_string=additional)
+
+        vp.println_verbose_level1(
+            f"Acceptance {numaccepts}/{itrj} : {round(numaccepts*100/itrj)} %"
+        )
+        vp.flush()
+
+    vp.println_verbose_level1(f"Total Elapsed time {time.time()-t_all} [s]")
+    measurements.close()
+    measurements_for_flow.close()
+    plaq = float(ga.mean_plaquette(u))
+    vp.close()
+    return plaq

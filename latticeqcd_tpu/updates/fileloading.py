@@ -1,0 +1,66 @@
+"""Load-and-measure updater: each "update" loads the next stored config.
+
+Counterpart of GivenConfigurations (SURVEY.md 2.2;
+/root/reference/src/updates/givenconfigurations.jl:7-63): scan
+loadU_dir for files of the given format, optionally filtered by a
+list file (loadU_fromfile/loadU_filename, legacy list support
+mainrun.jl:229-273); the driver sets Nsteps to the file count.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+
+from latticeqcd_tpu.io import load_bridge_text, load_ildg, load_u
+
+_EXT = {"JLD": (".jld2", ".npz"), "NPZ": (".npz",), "ILDG": (".ildg",), "BridgeText": (".txt",)}
+
+
+@dataclass
+class GivenConfigurations:
+    loadU_format: str
+    loadU_dir: str
+    lattice: tuple
+    nc: int
+    filelist: List[str] = field(default_factory=list)
+    current: int = 0
+
+    @classmethod
+    def from_params(cls, p, lattice, nc):
+        fmt = p.loadU_format
+        if fmt not in _EXT:
+            raise ValueError(f"loadU_format should be JLD/NPZ, ILDG or BridgeText, got {fmt!r}")
+        if p.loadU_fromfile:
+            with open(os.path.join(p.loadU_dir, p.loadU_filename)) as fp:
+                names = [l.split()[0] for l in fp if l.strip() and not l.startswith("#")]
+            files = [os.path.join(p.loadU_dir, n) for n in names]
+        else:
+            files = sorted(
+                os.path.join(p.loadU_dir, f)
+                for f in os.listdir(p.loadU_dir)
+                if f.endswith(_EXT[fmt])
+            )
+        if not files:
+            raise FileNotFoundError(f"no {fmt} configurations in {p.loadU_dir!r}")
+        return cls(fmt, p.loadU_dir, tuple(lattice), nc, filelist=files)
+
+    @property
+    def nsteps(self) -> int:
+        return len(self.filelist)
+
+    def _load(self, filename, dtype):
+        if self.loadU_format in ("JLD", "NPZ"):
+            return load_u(filename, dtype=dtype)
+        if self.loadU_format == "ILDG":
+            return load_ildg(filename, self.lattice, self.nc, dtype=dtype)
+        return load_bridge_text(filename, self.lattice, self.nc, dtype=dtype)
+
+    def update(self, u, key):
+        """Load the next config; always 'accepted'."""
+        fn = self.filelist[self.current]
+        self.current += 1
+        return self._load(fn, u.dtype), key, True

@@ -1,0 +1,106 @@
+import os
+import shutil
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import latticeqcd_tpu
+from latticeqcd_tpu.system.params import construct_params_from_toml
+
+
+def _stage(tmp_path, reference_dir, toml_name, confdir, monkeypatch):
+    shutil.copy(os.path.join(reference_dir, "test", toml_name), tmp_path)
+    os.symlink(
+        os.path.join(reference_dir, "test", confdir), tmp_path / confdir,
+        target_is_directory=True,
+    )
+    monkeypatch.chdir(tmp_path)
+
+
+def test_params_from_reference_toml(reference_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    p = construct_params_from_toml(
+        os.path.join(reference_dir, "test", "test01.toml"), make_dirs=False
+    )
+    assert p.L == (4, 4, 4, 4)
+    assert p.beta == 5.7
+    assert p.MDsteps == 15
+    assert abs(p.dtau - 0.06666666666666667) < 1e-15
+    assert p.update_method == "HMC"
+    assert p.Dirac_operator is None
+    assert p.hasgradientflow
+    names = {m["methodname"] for m in p.measurement_methods}
+    assert names == {
+        "Pion_correlator",
+        "Chiral_condensate",
+        "Polyakov_loop",
+        "Topological_charge",
+        "Plaquette",
+    }
+    assert len(p.measurements_for_flow) == 1
+    assert p.measurements_for_flow[0]["methodname"] == "Topological_charge"
+
+
+def test_params_rejects_bad_update_method(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(ValueError):
+        construct_params_from_toml(
+            {"Physical setting": {"update_method": "Banana"}}, make_dirs=False
+        )
+
+
+@pytest.mark.slow
+def test_run_lqcd_heatbath_su2_end_to_end(reference_dir, tmp_path, monkeypatch):
+    """Full driver pass on the reference's test02-hb.toml: golden band +
+    measurement/log files in place (BASELINE.md #4)."""
+    _stage(tmp_path, reference_dir, "test02-hb.toml",
+           "confs_Heatbath_L04040404_beta5.7_quenched_su2", monkeypatch)
+    plaq = latticeqcd_tpu.run_LQCD("test02-hb.toml")
+    golden = 0.4890732959844511
+    assert abs(plaq - golden) / golden < 0.1, plaq
+    mdir = tmp_path / "measurements" / "Heatbath_L04040404_beta5.7_quenched_su2"
+    assert (mdir / "Plaquette.txt").exists()
+    lines = (mdir / "Plaquette.txt").read_text().strip().split("\n")
+    assert len(lines) == 11  # trajectory 0 + 10
+    assert (mdir / "Topological_charge_flow.txt").exists()
+    assert (tmp_path / "logs" / "Heatbath_L04040404_beta5.7_quenched_su2.txt").exists()
+
+
+@pytest.mark.slow
+def test_run_lqcd_fileloading_mode(reference_dir, tmp_path, monkeypatch):
+    """update_method=Fileloading: re-measure a directory of configs."""
+    monkeypatch.chdir(tmp_path)
+    confsrc = os.path.join(
+        reference_dir, "test", "confs_HMC_L04040404_beta5.7_quenched_su3"
+    )
+    os.mkdir(tmp_path / "confs")
+    confs = sorted(f for f in os.listdir(confsrc) if f.endswith(".txt"))
+    shutil.copy(os.path.join(confsrc, confs[0]), tmp_path / "confs" / "conf_a.txt")
+    shutil.copy(os.path.join(confsrc, confs[0]), tmp_path / "confs" / "conf_b.txt")
+    toml = {
+        "Physical setting": {
+            "L": [4, 4, 4, 4],
+            "NC": 3,
+            "update_method": "Fileloading",
+        },
+        "Physical setting(fermions)": {"Dirac_operator": "nothing"},
+        "System Control": {
+            "loadU_format": "BridgeText",
+            "loadU_dir": "confs",
+            "logfile": "fl.txt",
+            "log_dir": "logs",
+            "measurement_basedir": "measurements",
+            "measurement_dir": "fl",
+        },
+        "Measurement set": {
+            "measurement_methods": {
+                "Plaquette": {"methodname": "Plaquette", "measure_every": 1}
+            }
+        },
+    }
+    p = construct_params_from_toml(toml)
+    plaq = latticeqcd_tpu.run_LQCD_file(p)
+    assert 0.5 < plaq < 0.62
+    lines = (tmp_path / "measurements" / "fl" / "Plaquette.txt").read_text().strip().split("\n")
+    assert len(lines) == 3  # itrj 0 (initial cold) + 2 loaded configs
