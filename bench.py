@@ -1,0 +1,107 @@
+"""Benchmark: the reference's published headline workload on TPU.
+
+Reference numbers (BASELINE.md / docs/src/index.md:112-160): 20 HMC
+trajectories of 2-flavor Wilson at 4^4, beta=6.0, kappa=0.141139,
+r=1, MDsteps=10, dtau=0.1 — 180.41 s user on a 3.2 GHz 6-core i7
+(LatticeQCD.jl), 227.40 s for the Fortran LTK code.
+
+Prints ONE JSON line: wall-clock for the same 20-trajectory workload
+here (steady-state, post-compile), vs_baseline = 180.41 / ours
+(>1 means faster than the reference).
+
+Precision: tries float64 (matching the reference's CG eps=1e-19); on
+TPU generations without usable f64 falls back to float32 with a
+relaxed eps (noted in the JSON "precision" field).
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+BASELINE_SECONDS = 180.41
+
+
+def _run(dtype_name: str, eps_cg: float, n_traj: int = 20):
+    import jax
+    import jax.numpy as jnp
+
+    from latticeqcd_tpu.io import load_bridge_text
+    from latticeqcd_tpu.ops import gauge_action as ga
+    from latticeqcd_tpu.ops.dirac.wilson import WilsonDirac
+    from latticeqcd_tpu.ops.fermion_action import WilsonFermiAction
+    from latticeqcd_tpu.updates import HMC
+
+    dtype = jnp.dtype(dtype_name)
+    u = load_bridge_text(
+        "/root/reference/test/confs_HMC_L04040404_beta5.7_Wilson_kappa0.141139/"
+        "conf_00000100.ildg.txt",
+        (4, 4, 4, 4),
+        3,
+        dtype=dtype,
+    )
+    fa = WilsonFermiAction(WilsonDirac(kappa=0.141139, r=1.0), eps_cg=eps_cg, max_cg=3000)
+    hmc = HMC(action=ga.wilson_gauge_action(3, 6.0), dtau=0.1, md_steps=10, fermi_action=fa)
+
+    key = jax.random.PRNGKey(111)
+    # warmup: compile the trajectory
+    u_w, key_w, st = hmc.step(u, key)
+    jax.block_until_ready(u_w)
+
+    t0 = time.time()
+    n_acc = 0
+    for _ in range(n_traj):
+        u, key, st = hmc.step(u, key)
+        n_acc += int(st["accepted"])
+    jax.block_until_ready(u)
+    wall = time.time() - t0
+    plaq = float(ga.mean_plaquette(u))
+    return wall, plaq, n_acc
+
+
+def _c128_supported() -> bool:
+    """Cheap probe: this TPU's compiler rejects complex128 matmuls
+    (observed: remote_compile HTTP 500), so test a tiny op first."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        c = jnp.full((4, 3, 3), 1 + 1j, jnp.complex128)
+        jax.block_until_ready(jnp.matmul(c, c))
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    if _c128_supported():
+        precision = "float64"
+        eps = 1e-19
+        wall, plaq, n_acc = _run("complex128", eps)
+    else:
+        print("# complex128 unsupported on this backend; using f32", file=sys.stderr)
+        jax.config.update("jax_enable_x64", False)
+        precision = "float32"
+        eps = 1e-12
+        wall, plaq, n_acc = _run("complex64", eps)
+
+    result = {
+        "metric": "wilson_hmc_20traj_4^4_beta6.0_kappa0.141139_wallclock",
+        "value": round(wall, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / wall, 2),
+        "precision": precision,
+        "eps_cg": eps,
+        "final_plaquette": round(plaq, 8),
+        "accepted": n_acc,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

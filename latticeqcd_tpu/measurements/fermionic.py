@@ -16,6 +16,7 @@ Mirrors the reference's archived kernels (SURVEY.md 2.4.3):
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional
 
 import jax
@@ -32,8 +33,10 @@ from latticeqcd_tpu.ops.dirac.wilson import (
 )
 
 
+@partial(jax.jit, static_argnums=(0, 3, 4))
 def _solve_dinv(dirac, up, b, eps, maxiter):
-    """solve_DinvX!: D x = b via CGNE (D^dag D x = D^dag b)."""
+    """solve_DinvX!: D x = b via CGNE (D^dag D x = D^dag b); one jitted
+    SPMD program per (operator, shape)."""
     rhs = dirac.apply_dagger(up, b)
     x, it, rsq = solvers.cg(
         lambda v: dirac.apply_ddag_d(up, v), rhs, eps=eps, maxiter=maxiter

@@ -13,7 +13,9 @@ Algorithms mirror the reference's archived QCDMeasurements kernels
 from __future__ import annotations
 
 import itertools
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,11 +25,17 @@ from latticeqcd_tpu.ops.wilsonline import Wilsonline
 
 DIRS = 4
 
+# All public observables are jitted: on a sharded mesh each is ONE SPMD
+# program (eager per-op dispatch of sharded collectives can deadlock the
+# multi-device runtime, and is slow anyway).
 
+
+@jax.jit
 def mean_plaquette(u):
     return ga.mean_plaquette(u)
 
 
+@jax.jit
 def polyakov_loop(u):
     """Complex <(1/NC) tr prod_t U_4(x, t)>_xspace."""
     nt = u.shape[4]
@@ -124,6 +132,7 @@ def _q_from_fields(f, num):
     return -q / (32 * np.pi**2)
 
 
+@partial(jax.jit, static_argnums=1)
 def topological_charge(u, kind: str = "clover"):
     """kind in {"plaquette", "clover", "improved"}."""
     if kind in ("plaquette", "plaq"):
@@ -141,6 +150,7 @@ def topological_charge(u, kind: str = "clover"):
     raise ValueError(kind)
 
 
+@jax.jit
 def energy_density(u):
     """Clover-based E (measure_energy_density.jl:93-133): W_munu = sum
     of 4 clover leaves; E = Re sum_{mu!=nu} tr(W W)/4 / (NV 6 NC 8)."""
@@ -157,6 +167,7 @@ def energy_density(u):
     return jnp.real(total) / nv / ndir / nc / 8.0
 
 
+@partial(jax.jit, static_argnums=(1, 2))
 def wilson_loop_rt(u, ls: int, lt: int):
     """<Re tr W(Ls x Lt)> averaged over the 3 spatial directions,
     normalized by 1/(NV 3 NC) (measure_Wilsonloop.jl:71-135)."""

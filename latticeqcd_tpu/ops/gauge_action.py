@@ -65,7 +65,7 @@ def general_gauge_action(nc: int, couplings, loopsets) -> GaugeAction:
     act = GaugeAction(nc)
     for c, loops in zip(couplings, loopsets):
         ls = list(loops) + [l.adjoint() for l in loops]
-        act.push(c / 2, ls)
+        act = act.push(c / 2, ls)
     return act
 
 

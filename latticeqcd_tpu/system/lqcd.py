@@ -42,7 +42,13 @@ def _do_update(updater, u, key):
 
 
 class Savedata:
-    """saveU_every-gated config saving (lqcd.jl:198-247)."""
+    """saveU_every-gated config saving (lqcd.jl:198-247).
+
+    In addition to the reference formats, every save also writes a
+    native checkpoint `checkpoint.npz` carrying the links, PRNG key
+    and trajectory counter — so a run can resume *bitwise*, improving
+    on the reference whose resume is only statistically continuous
+    (SURVEY.md section 5 "Checkpoint / resume")."""
 
     def __init__(self, saveU_format, saveU_dir, saveU_every, update_method, vp):
         self.issaved = saveU_format is not None and update_method != "Fileloading"
@@ -52,7 +58,7 @@ class Savedata:
         if self.issaved:
             vp.println_verbose_level1(f"save gaugefields U every {saveU_every} trajectory")
 
-    def save(self, u, itrj):
+    def save(self, u, itrj, key=None):
         if not self.issaved or itrj % self.every != 0:
             return
         tag = f"{itrj:08d}"
@@ -64,10 +70,20 @@ class Savedata:
             save_bridge_text(os.path.join(self.dir, f"conf_{tag}.txt"), u)
         else:
             raise ValueError(f"saveU_format {self.fmt!r} is not supported")
+        if key is not None:
+            from latticeqcd_tpu.io import save_checkpoint
+
+            save_checkpoint(
+                os.path.join(self.dir, "checkpoint.npz"), u, rng_key=key, itrj=itrj
+            )
 
 
-def run_lqcd_file(filename, make_dirs: bool = True, dtype=jnp.complex128):
-    """run_LQCD_file: accepts a TOML path (or a parsed dict/Params)."""
+def run_lqcd_file(filename, make_dirs: bool = True, dtype=jnp.complex128, shard_mesh=None):
+    """run_LQCD_file: accepts a TOML path (or a parsed dict/Params).
+
+    shard_mesh: optional jax.sharding.Mesh — the link field is placed
+    with the 4D lattice sharding and every jitted step runs SPMD
+    (multirun.py / SURVEY.md 2.5)."""
     if isinstance(filename, Params):
         parameters = filename
     else:
@@ -75,13 +91,29 @@ def run_lqcd_file(filename, make_dirs: bool = True, dtype=jnp.complex128):
         if ext not in (".toml", ""):
             raise ValueError(f"{filename} is not supported. use a TOML format.")
         parameters = construct_params_from_toml(filename, make_dirs=make_dirs)
-    return run_lqcd_params(parameters, make_dirs=make_dirs, dtype=dtype)
+    return run_lqcd_params(parameters, make_dirs=make_dirs, dtype=dtype, shard_mesh=shard_mesh)
 
 
-def run_lqcd_params(p: Params, make_dirs: bool = True, dtype=jnp.complex128):
+def run_lqcd_params(p: Params, make_dirs: bool = True, dtype=jnp.complex128, shard_mesh=None,
+                    resume_checkpoint=None):
+    """resume_checkpoint: path to a native checkpoint.npz — restores the
+    links, PRNG key and trajectory counter for bitwise continuation."""
     key = jax.random.PRNGKey(p.randomseed)
 
     univ = build_universe(p, dtype=dtype)
+    if resume_checkpoint is not None:
+        from latticeqcd_tpu.io import load_checkpoint
+
+        ck = load_checkpoint(resume_checkpoint, dtype=dtype)
+        univ.u = ck["u"]
+        if "rng_key" in ck:
+            key = ck["rng_key"]
+        if "itrj" in ck:
+            p.initialtrj = int(ck["itrj"]) + 1
+    if shard_mesh is not None:
+        from latticeqcd_tpu.parallel import shard_links
+
+        univ.u = shard_links(univ.u, shard_mesh)
     vp = univ.verbose_print
 
     vp.println_verbose_level1("# ", os.getcwd())
@@ -113,6 +145,7 @@ def run_lqcd_params(p: Params, make_dirs: bool = True, dtype=jnp.complex128):
         vp.println_verbose_level1(f"# itrj = {itrj}")
         t0 = time.time()
         u, key, stats = _do_update(updater, u, key)
+        jax.block_until_ready(u)
         accepted = bool(stats["accepted"])
         vp.println_verbose_level1(f"Update: Elapsed time {time.time()-t0} [s]")
         if "dH" in stats:
@@ -122,7 +155,7 @@ def run_lqcd_params(p: Params, make_dirs: bool = True, dtype=jnp.complex128):
             )
         if accepted:
             numaccepts += 1
-        savedata.save(u, itrj)
+        savedata.save(u, itrj, key=key)
 
         for st in measurements.calc_measurement_values(itrj, u):
             pass  # measurement files and verbose handled inside
@@ -133,6 +166,10 @@ def run_lqcd_params(p: Params, make_dirs: bool = True, dtype=jnp.complex128):
             for istep in range(1, p.numflow + 1):
                 for _ in range(p.Nflow):
                     usmr = gf.flow(usmr)
+                # sync each istep: unbounded async dispatch of collective
+                # programs can deadlock XLA's in-process CPU communicator
+                # (observed with the 8-virtual-device test mesh)
+                jax.block_until_ready(usmr)
                 tau = istep * dtau_flow
                 additional = f"{itrj} {istep} {tau} "
                 for m in measurements_for_flow.measurements:

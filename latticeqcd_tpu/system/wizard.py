@@ -1,0 +1,214 @@
+"""Parameter-file wizard: scriptable generator + simple interactive mode.
+
+Counterpart of run_wizard (SURVEY.md 3.5;
+/root/reference/src/system/wizard.jl:117-545): produces a TOML file
+with the five reference sections. The programmatic API is the
+primary interface (the reference's REPL menus are a non-goal,
+SURVEY.md 7.5); `run_wizard()` with no args asks a minimal set of
+questions on stdin.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+
+def _toml_value(v):
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return f'"{v}"'
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_toml_value(x) for x in v) + "]"
+    return repr(v) if isinstance(v, float) else str(v)
+
+
+def make_headername(update_method, L, beta, fermion=None, extra=""):
+    """Output filename conventions (wizard.jl make_headername, :773+)."""
+    lstr = "".join(f"{l:02d}" for l in L)
+    head = f"{update_method}_L{lstr}_beta{beta}"
+    if fermion:
+        head += f"_{fermion}"
+    if extra:
+        head += f"_{extra}"
+    return head
+
+
+def generate_parameters(
+    L=(4, 4, 4, 4),
+    beta: float = 5.7,
+    NC: int = 3,
+    update_method: str = "HMC",
+    initial: str = "cold",
+    loadU_format: Optional[str] = None,
+    fermion: Optional[str] = None,  # None|"Wilson"|"Staggered"|"Domainwall"
+    hop: float = 0.141139,
+    mass: float = 0.5,
+    nf: int = 4,
+    domainwall_m=1.0,
+    domainwall_M=-1.0,
+    domainwall_L5=4,
+    stout: bool = False,
+    stout_rho=(0.1,),
+    stout_loops=("plaquette",),
+    dtau: float = 0.05,
+    md_steps: int = 20,
+    sexton_weingarten: bool = False,
+    n_sw: int = 2,
+    nsteps: int = 100,
+    nthermalization: int = 0,
+    use_or: bool = False,
+    num_or: int = 3,
+    randomseed: int = 111,
+    verboselevel: int = 2,
+    measurements=("Plaquette", "Polyakov_loop"),
+    measure_every: int = 1,
+    gradientflow_measurements=(),
+    numflow: int = 10,
+    nflow: int = 1,
+    eps_flow: float = 0.01,
+    saveU_format: Optional[str] = None,
+    saveU_every: int = 10,
+):
+    """Build the nested parameter dict (TOML layout of the reference)."""
+    fermion_name = None
+    if fermion == "Wilson":
+        fermion_name = f"Wilson_kappa{hop}"
+    elif fermion == "Staggered":
+        fermion_name = f"Staggered_mass{mass}"
+    elif fermion == "Domainwall":
+        fermion_name = "Domainwall"
+    head = make_headername(update_method, L, beta, fermion_name)
+
+    physical = {
+        "L": list(L),
+        "β": beta,
+        "NC": NC,
+        "update_method": update_method,
+        "Nsteps": nsteps,
+        "Nthermalization": nthermalization,
+        "initial": initial,
+        "useOR": use_or,
+        "numOR": num_or,
+    }
+    fermions = {"Dirac_operator": fermion if fermion else "nothing"}
+    if fermion:
+        fermions["quench"] = False
+        if fermion == "Wilson":
+            fermions["hop"] = hop
+        elif fermion == "Staggered":
+            fermions["mass"] = mass
+            fermions["Nf"] = nf
+        elif fermion == "Domainwall":
+            fermions["Domainwall_m"] = domainwall_m
+            fermions["Domainwall_M"] = domainwall_M
+            fermions["Domainwall_L5"] = domainwall_L5
+        if stout:
+            fermions["smearing_for_fermion"] = "stout"
+            fermions["stout_numlayers"] = len(stout_rho)
+            fermions["stout_ρ"] = list(stout_rho)
+            fermions["stout_loops"] = list(stout_loops)
+    control = {
+        "logfile": head + ".txt",
+        "log_dir": "./logs",
+        "measurement_basedir": "./measurements",
+        "measurement_dir": head,
+        "verboselevel": verboselevel,
+        "randomseed": randomseed,
+    }
+    if loadU_format:
+        control["loadU_format"] = loadU_format
+    if saveU_format:
+        control["saveU_format"] = saveU_format
+        control["saveU_every"] = saveU_every
+        control["saveU_dir"] = "./confs_" + head
+    hmc = {
+        "Δτ": dtau,
+        "MDsteps": md_steps,
+        "SextonWeingargten": sexton_weingarten,
+        "N_SextonWeingargten": n_sw,
+    }
+    mset = {}
+    for m in measurements:
+        entry = {"methodname": m, "measure_every": measure_every}
+        if m == "Pion_correlator":
+            entry["fermion_parameters"] = {"Dirac_operator": fermion or "Wilson"}
+        if m == "Topological_charge":
+            entry["kinds_of_topological_charge"] = ["plaquette", "clover"]
+        mset[m] = entry
+    out = {
+        "Physical setting": physical,
+        "Physical setting(fermions)": fermions,
+        "System Control": control,
+        "HMC related": hmc,
+        "Measurement set": {"measurement_methods": mset},
+    }
+    if gradientflow_measurements:
+        gfm = {}
+        for m in gradientflow_measurements:
+            gfm[m] = {"methodname": m, "measure_every": 1, "fermiontype": "nothing"}
+        out["gradientflow_measurements"] = {
+            "numflow": numflow,
+            "Nflow": nflow,
+            "eps_flow": eps_flow,
+            "measurements_for_flow": gfm,
+        }
+        out["System Control"]["hasgradientflow"] = True
+    return out
+
+
+def write_toml(params: dict, filename: str) -> str:
+    """Serialize the nested dict in the reference's TOML layout."""
+    lines = []
+
+    def emit_table(path, table):
+        scalar = {k: v for k, v in table.items() if not isinstance(v, dict)}
+        subs = {k: v for k, v in table.items() if isinstance(v, dict)}
+        if scalar or not subs:
+            lines.append("[" + ".".join(_quote_key(p) for p in path) + "]")
+            for k, v in scalar.items():
+                lines.append(f"{_quote_key(k)} = {_toml_value(v)}")
+            lines.append("")
+        for k, v in subs.items():
+            emit_table(path + [k], v)
+
+    for section, content in params.items():
+        emit_table([section], content)
+    text = "\n".join(lines)
+    with open(filename, "w") as fp:
+        fp.write(text)
+    return filename
+
+
+def _quote_key(k: str) -> str:
+    if all(c.isalnum() or c in "_-" for c in k) and k.isascii():
+        return k
+    return f'"{k}"'
+
+
+def run_wizard(filename: Optional[str] = None, interactive: bool = True, **kwargs):
+    """Interactive (minimal prompts) or programmatic TOML generation."""
+    if interactive and not kwargs:
+        def ask(prompt, default, cast=str):
+            raw = input(f"{prompt} [{default}]: ").strip()
+            return cast(raw) if raw else default
+
+        L = tuple(int(x) for x in ask("lattice L (comma sep)", "4,4,4,4").split(","))
+        kwargs = dict(
+            L=L,
+            NC=ask("NC", 3, int),
+            beta=ask("beta", 5.7, float),
+            update_method=ask("update method (HMC/Heatbath/Fileloading)", "HMC"),
+            initial=ask("initial (cold/hot/one instanton)", "cold"),
+            nsteps=ask("number of trajectories", 100, int),
+        )
+        ferm = ask("fermion (none/Wilson/Staggered/Domainwall)", "none")
+        if ferm != "none":
+            kwargs["fermion"] = ferm
+    params = generate_parameters(**kwargs)
+    if filename is None:
+        filename = "my_parameters.toml"
+    write_toml(params, filename)
+    print(f"parameter file written to {filename}")
+    return filename
