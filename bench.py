@@ -77,6 +77,13 @@ def _c128_supported() -> bool:
 def main():
     import jax
 
+    # persistent compile cache: the remote TPU compiler is slow and
+    # intermittently flaky on fresh programs; reuse good compiles.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # noqa: BLE001 - older jax without these flags
+        pass
     jax.config.update("jax_enable_x64", True)
     if _c128_supported():
         precision = "float64"

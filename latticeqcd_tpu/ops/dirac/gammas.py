@@ -32,6 +32,29 @@ def projectors(r: float = 1.0):
     return pm, pp
 
 
+def _half_factor(p):
+    """V (4x2) with p = 2 V V^dag for a rank-2 projector-like 2*P."""
+    w, v = np.linalg.eigh(p)
+    idx = np.argsort(w)[::-1][:2]
+    assert np.allclose(sorted(w), [0, 0, 2, 2]), w
+    return v[:, idx] * np.sqrt(w[idx] / 2.0)[None, :]
+
+
+def half_spinor_factors():
+    """Spin-projection decomposition at r=1 (the QPhiX/Grid trick):
+    (1 -+ gamma_mu) = 2 V V^dag with V (4x2); the color multiply then
+    acts on 2 spin components instead of 4, halving the D-slash color
+    flops. Returns (Vm[4,4,2], Vp[4,4,2]), verified exact at import.
+    """
+    pm, pp = projectors(1.0)
+    vm = np.stack([_half_factor(pm[mu]) for mu in range(4)])
+    vp = np.stack([_half_factor(pp[mu]) for mu in range(4)])
+    for mu in range(4):
+        assert np.allclose(2 * vm[mu] @ vm[mu].conj().T, pm[mu])
+        assert np.allclose(2 * vp[mu] @ vp[mu].conj().T, pp[mu])
+    return vm, vp
+
+
 def _selfcheck():
     for mu in range(4):
         assert np.allclose(GAMMA[mu], GAMMA[mu].conj().T)

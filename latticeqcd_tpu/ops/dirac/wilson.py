@@ -58,11 +58,25 @@ class WilsonDirac:
 
     def apply(self, u: jnp.ndarray, psi: jnp.ndarray) -> jnp.ndarray:
         """D psi. u must already carry boundary phases
-        (apply_boundary_phases) — the driver layer does this once."""
+        (apply_boundary_phases) — the driver layer does this once.
+
+        At r=1 the hopping term uses the half-spinor projection
+        (1 -+ g_mu) = 2 V V^dag: project spin 4 -> 2, color-multiply
+        the half spinor, reconstruct — half the color flops of the
+        naive form (SURVEY.md 7.2 M3 "fused stencil")."""
+        if self.r == 1.0:
+            hop = self._hop_half_spinor(u, psi)
+        else:
+            hop = self._hop_generic(u, psi)
+        out = psi - self.kappa * hop
+        if self.csw != 0.0:
+            out = out + self._clover_term(u, psi)
+        return out
+
+    def _hop_generic(self, u, psi):
         pm, pp = gammas.projectors(self.r)
         pm = jnp.asarray(pm, dtype=psi.dtype)
         pp = jnp.asarray(pp, dtype=psi.dtype)
-        out = psi
         hop = 0.0
         for mu in range(DIRS):
             umu = u[mu]
@@ -72,10 +86,26 @@ class WilsonDirac:
             )
             hop = hop + jnp.einsum("st,...tc->...sc", pm[mu], fwd)
             hop = hop + jnp.einsum("st,...tc->...sc", pp[mu], bwd)
-        out = out - self.kappa * hop
-        if self.csw != 0.0:
-            out = out + self._clover_term(u, psi)
-        return out
+        return hop
+
+    def _hop_half_spinor(self, u, psi):
+        vm, vp = gammas.half_spinor_factors()
+        vm = jnp.asarray(vm, dtype=psi.dtype)
+        vp = jnp.asarray(vp, dtype=psi.dtype)
+        hop = 0.0
+        for mu in range(DIRS):
+            umu = u[mu]
+            # forward: 2 Vm [ U (Vm^dag psi)(x+mu) ]
+            half = jnp.einsum("sh,...sc->...hc", jnp.conj(vm[mu]), _shift(psi, mu, +1))
+            half = jnp.einsum("...ab,...hb->...ha", umu, half)
+            hop = hop + 2.0 * jnp.einsum("sh,...hc->...sc", vm[mu], half)
+            # backward: 2 Vp [ U^dag(x-mu) (Vp^dag psi)(x-mu) ]
+            half = jnp.einsum("sh,...sc->...hc", jnp.conj(vp[mu]), _shift(psi, mu, -1))
+            half = jnp.einsum(
+                "...ba,...hb->...ha", jnp.conj(_shift(umu, mu, -1)), half
+            )
+            hop = hop + 2.0 * jnp.einsum("sh,...hc->...sc", vp[mu], half)
+        return hop
 
     def apply_dagger(self, u: jnp.ndarray, psi: jnp.ndarray) -> jnp.ndarray:
         """D^dag psi = g5 D g5 psi (gamma5-hermiticity)."""

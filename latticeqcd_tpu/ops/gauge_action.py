@@ -29,13 +29,20 @@ class GaugeAction:
     Counterpart of GaugeAction + push! (universe.jl:85-94), but
     persistent/hashable so updaters carrying an action can be jit
     static arguments. `push` returns a new action.
+
+    plaq_coeff: when the action is exactly the adjoint-closed
+    plaquette set at one coupling (the Wilson action), this records
+    that coupling and staples/forces use a fused 6-staple kernel
+    with shared shifts instead of the generic symbolic path —
+    fewer ops for the MD hot loop (and much smaller XLA graphs).
     """
 
     nc: int
     terms: tuple = ()
+    plaq_coeff: float = 0.0
 
     def push(self, coeff: float, loops) -> "GaugeAction":
-        return GaugeAction(self.nc, self.terms + ((float(coeff), tuple(loops)),))
+        return GaugeAction(self.nc, self.terms + ((float(coeff), tuple(loops)),), 0.0)
 
     def weighted_lines(self):
         return [(c, line) for c, loops in self.terms for line in loops]
@@ -55,10 +62,11 @@ class GaugeAction:
 def wilson_gauge_action(nc: int, beta: float, dim: int = 4) -> GaugeAction:
     """The standard Wilson (plaquette) action exactly as the reference
     builds it: plaquette loops + adjoints at coupling beta/2
-    (universe.jl:90-93)."""
+    (universe.jl:90-93). Marked for the fused-staple fast path."""
     plaq = make_loops_fromname("plaquette", dim)
     loops = list(plaq) + [l.adjoint() for l in plaq]
-    return GaugeAction(nc).push(beta / 2, loops)
+    act = GaugeAction(nc).push(beta / 2, loops)
+    return GaugeAction(act.nc, act.terms, plaq_coeff=beta / 2)
 
 
 def general_gauge_action(nc: int, couplings, loopsets) -> GaugeAction:
@@ -82,11 +90,43 @@ def action_value(action: GaugeAction, u: jnp.ndarray) -> jnp.ndarray:
     return -jnp.real(evaluate(action, u)) / action.nc
 
 
+def _plaquette_staple(u: jnp.ndarray, mu: int) -> jnp.ndarray:
+    """Fused canonical staple sum A_mu(y) = sum_{nu != mu} of the
+    forward and backward plaquette staples, with shared shifts:
+
+      fwd: U_nu(y+mu) U_mu(y+nu)^dag U_nu(y)^dag
+      bwd: U_nu(y+mu-nu)^dag U_mu(y-nu)^dag U_nu(y-nu)
+    """
+    total = 0.0
+    for nu in range(DIRS):
+        if nu == mu:
+            continue
+        unu = u[nu]
+        umu = u[mu]
+        unu_pmu = wilsonline._roll_to(unu, _unit(mu))
+        umu_pnu = wilsonline._roll_to(umu, _unit(nu))
+        fwd = sun.mul(unu_pmu, sun.dagger(sun.mul(unu, umu_pnu)))
+        # backward staple: everything lives at y-nu, then shift up
+        bwd_at = sun.mul(sun.dagger(sun.mul(umu, wilsonline._roll_to(unu, _unit(mu)))), unu)
+        bwd = wilsonline._roll_to(bwd_at, _neg_unit(nu))
+        total = total + fwd + bwd
+    return total
+
+
+def _neg_unit(mu):
+    e = [0] * DIRS
+    e[mu] = -1
+    return e
+
+
 def staples(action: GaugeAction, u: jnp.ndarray, mu: int) -> jnp.ndarray:
     """Weighted staple sum V_mu(y): d(sum c tr W)/d(U_mu) = V^T.
 
     For the reference Wilson action this equals (beta/2) * A with A
-    the ordinary 6-staple sum."""
+    the ordinary 6-staple sum (fused fast path, validated against the
+    symbolic path in tests/test_gauge_action.py)."""
+    if action.plaq_coeff != 0.0:
+        return action.plaq_coeff * _plaquette_staple(u, mu)
     return wilsonline.staple_sum(u, action.weighted_lines(), mu)
 
 

@@ -124,6 +124,82 @@ def _expm_su2(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([row0, row1], axis=-2).astype(x.dtype)
 
 
+def _expi_su3_ch(h: jnp.ndarray, eps) -> jnp.ndarray:
+    """exp(i Q) for traceless hermitian 3x3 Q = eps*H via the
+    Cayley-Hamilton closed form (Morningstar-Peardon, hep-lat/0311018
+    sec. III): exp(iQ) = f0 + f1 Q + f2 Q^2 with f_j from the
+    eigenvalue parametrization
+
+        c0 = det Q, c1 = tr(Q^2)/2,
+        theta = arccos(|c0|/c0max), c0max = 2 (c1/3)^(3/2),
+        u = sqrt(c1/3) cos(theta/3), w = sqrt(c1) sin(theta/3).
+
+    With the |c0| reflection (f0 -> conj f0, f1 -> -conj f1,
+    f2 -> conj f2 for c0 < 0) the denominator 9u^2 - w^2 >= 2 c1 is
+    bounded away from zero except at Q -> 0, where a low-order Taylor
+    (exact there) takes over. Costs 2 matmuls + elementwise math — the
+    per-link MD hot path (SURVEY.md 7.4 "SU(3) exponential").
+    """
+    q = (eps * h).astype(h.dtype)
+    rdt = jnp.float64 if h.dtype == jnp.complex128 else jnp.float32
+    q2 = mul(q, q)
+    c0 = jnp.real(jnp.linalg.det(q))
+    c1 = 0.5 * jnp.real(trace(q2))
+
+    small = c1 < 1e-8 if rdt == jnp.float64 else c1 < 1e-4
+    c1s = jnp.where(small, 1.0, c1)  # keep sqrt/arccos well-defined
+
+    c0max = 2.0 * (c1s / 3.0) ** 1.5
+    sign = jnp.where(c0 < 0, -1.0, 1.0)
+    ratio = jnp.clip(jnp.abs(c0) / c0max, 0.0, 1.0)
+    theta = jnp.arccos(ratio)
+    u = jnp.sqrt(c1s / 3.0) * jnp.cos(theta / 3.0)
+    w = jnp.sqrt(c1s) * jnp.sin(theta / 3.0)
+
+    u2 = u * u
+    w2 = w * w
+    # xi0 = sin(w)/w with a series guard
+    wsmall = jnp.abs(w) < 0.05
+    xi0 = jnp.where(
+        wsmall,
+        1.0 - w2 / 6.0 * (1.0 - w2 / 20.0 * (1.0 - w2 / 42.0)),
+        jnp.sin(w) / jnp.where(wsmall, 1.0, w),
+    )
+    e2iu = jnp.exp(2j * u)
+    emiu = jnp.exp(-1j * u)
+    cosw = jnp.cos(w)
+    h0 = (u2 - w2) * e2iu + emiu * (8.0 * u2 * cosw + 2j * u * (3.0 * u2 + w2) * xi0)
+    h1 = 2.0 * u * e2iu - emiu * (2.0 * u * cosw - 1j * (3.0 * u2 - w2) * xi0)
+    h2 = e2iu - emiu * (cosw + 3j * u * xi0)
+    denom = 9.0 * u2 - w2
+    denom = jnp.where(small, 1.0, denom)
+    f0 = h0 / denom
+    f1 = h1 / denom
+    f2 = h2 / denom
+    # c0 < 0 reflection: f_j(-c0) = (-1)^j conj(f_j(c0))
+    f0 = jnp.where(sign < 0, jnp.conj(f0), f0)
+    f1 = jnp.where(sign < 0, -jnp.conj(f1), f1)
+    f2 = jnp.where(sign < 0, jnp.conj(f2), f2)
+
+    ident = jnp.eye(3, dtype=h.dtype)
+    out_ch = (
+        f0[..., None, None] * ident
+        + f1[..., None, None] * q
+        + f2[..., None, None] * q2
+    )
+    # tiny-Q fallback: 4th-order Taylor of exp(iQ), exact as Q -> 0
+    iq = 1j * q
+    iq2 = mul(iq, iq)
+    out_taylor = (
+        ident
+        + iq
+        + iq2 / 2.0
+        + mul(iq2, iq) / 6.0
+        + mul(iq2, iq2) / 24.0
+    )
+    return jnp.where(small[..., None, None], out_taylor, out_ch)
+
+
 _TAYLOR_ORDER = 10
 _SCALING_SQUARINGS = 8
 
@@ -156,10 +232,11 @@ def expi_hermitian(h: jnp.ndarray, eps) -> jnp.ndarray:
     Pauli formula; other NC use scaling-and-squaring (XLA-fused
     matmul chain on the VPU/MXU).
     """
-    x = 1j * eps * h
     if h.shape[-1] == 2:
-        return _expm_su2(x)
-    return _expm_taylor_ss(x)
+        return _expm_su2(1j * eps * h)
+    if h.shape[-1] == 3:
+        return _expi_su3_ch(h, eps)
+    return _expm_taylor_ss(1j * eps * h)
 
 
 def expm_antihermitian(x: jnp.ndarray) -> jnp.ndarray:

@@ -4,6 +4,7 @@ Counterpart of src/run.jl (SURVEY.md layer L7;
 /root/reference/src/run.jl:19-27).
 """
 
+import os
 import sys
 import time
 
@@ -21,6 +22,11 @@ def main(argv=None):
 
     import jax
 
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.latticeqcd_tpu_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # noqa: BLE001
+        pass
     if dtype_flag == "--f64":
         jax.config.update("jax_enable_x64", True)
         dtype = "complex128"
