@@ -56,7 +56,7 @@ def _run(dtype_name: str, eps_cg: float, n_traj: int = 20):
         n_acc += int(st["accepted"])
     jax.block_until_ready(u)
     wall = time.time() - t0
-    plaq = float(ga.mean_plaquette(u))
+    plaq = float(st["plaq"])  # final-trajectory plaquette from the step program
     return wall, plaq, n_acc
 
 

@@ -21,15 +21,19 @@ DIRS = 4
 
 def load_bridge_text(filename, lattice, nc: int, dtype=jnp.complex128) -> jnp.ndarray:
     """Load a Bridge++ text config into U[mu, x, y, z, t, a, b]."""
+    from latticeqcd_tpu.io import native_ext
+
     nx, ny, nz, nt = lattice
-    data = np.loadtxt(filename, dtype=np.float64)
+    data = native_ext.parse_text_doubles(
+        filename, 2 * nc * nc * DIRS * nx * ny * nz * nt
+    )
     expected = 2 * nc * nc * DIRS * nx * ny * nz * nt
     if data.size != expected:
         raise ValueError(
             f"{filename}: got {data.size} values, expected {expected} "
             f"for lattice {lattice} NC={nc}"
         )
-    cplx = data[0::2] + 1j * data[1::2]
+    cplx = native_ext.to_complex(data)
     # file order: t slowest, then z, y, x, then mu, row a, col b
     arr = cplx.reshape(nt, nz, ny, nx, DIRS, nc, nc)
     # -> (mu, x, y, z, t, a, b)

@@ -39,6 +39,18 @@ def update_links(u: jnp.ndarray, h: jnp.ndarray, eps) -> jnp.ndarray:
     return jnp.matmul(e, u)
 
 
+def _loop(body, n: int, carry, unroll: bool):
+    """fori_loop, or a Python unroll. Unrolling is forced whenever the
+    body contains a while_loop (a Krylov solve): while-inside-fori is
+    unimplemented on the axon TPU runtime, and the unrolled graph is
+    compiled once and persisted in the compile cache."""
+    if unroll:
+        for _ in range(n):
+            carry = body(0, carry)
+        return carry
+    return jax.lax.fori_loop(0, n, body, carry)
+
+
 def leapfrog_qpq(
     u: jnp.ndarray,
     h: jnp.ndarray,
@@ -46,8 +58,11 @@ def leapfrog_qpq(
     dtau: float,
     md_steps: int,
     force_fermion: Optional[Callable] = None,
+    unroll: Optional[bool] = None,
 ):
     """runMD_QPQ! (standardMD.jl:126-142)."""
+    if unroll is None:
+        unroll = force_fermion is not None
 
     def body(_, carry):
         u, h = carry
@@ -58,7 +73,7 @@ def leapfrog_qpq(
         u = update_links(u, h, 0.5 * dtau)
         return (u, h)
 
-    return jax.lax.fori_loop(0, md_steps, body, (u, h))
+    return _loop(body, md_steps, (u, h), unroll)
 
 
 def leapfrog_pqp(
@@ -68,8 +83,11 @@ def leapfrog_pqp(
     dtau: float,
     md_steps: int,
     force_fermion: Optional[Callable] = None,
+    unroll: Optional[bool] = None,
 ):
     """runMD_PQP! (standardMD.jl:170-190)."""
+    if unroll is None:
+        unroll = force_fermion is not None
 
     def body(_, carry):
         u, h = carry
@@ -82,7 +100,7 @@ def leapfrog_pqp(
             h = h + 0.5 * dtau * force_fermion(u)
         return (u, h)
 
-    return jax.lax.fori_loop(0, md_steps, body, (u, h))
+    return _loop(body, md_steps, (u, h), unroll)
 
 
 def leapfrog_qpq_sw(
@@ -93,6 +111,7 @@ def leapfrog_qpq_sw(
     md_steps: int,
     force_fermion: Callable,
     nsw: int = 2,
+    unroll: Optional[bool] = None,
 ):
     """Sexton-Weingarten multi-timescale QPQ (standardMD.jl:144-167).
 
@@ -100,6 +119,8 @@ def leapfrog_qpq_sw(
     """
     if nsw % 2 != 0:
         raise ValueError(f"Nsw must be even, got {nsw}")
+    if unroll is None:
+        unroll = True  # the fermion kick always contains a solver
 
     def gauge_half(carry):
         def inner(_, c):
@@ -118,7 +139,7 @@ def leapfrog_qpq_sw(
         carry = gauge_half((u, h))
         return carry
 
-    return jax.lax.fori_loop(0, md_steps, body, (u, h))
+    return _loop(body, md_steps, (u, h), unroll)
 
 
 def run_md(
@@ -131,6 +152,7 @@ def run_md(
     scheme: str = "QPQ",
     sexton_weingarten: bool = False,
     nsw: int = 2,
+    unroll=None,
 ):
     """Dispatch mirroring runMD! (standardMD.jl:103-124)."""
     if scheme == "QPQ":
@@ -139,10 +161,12 @@ def run_md(
                 raise ValueError(
                     "The quench update does not need the SextonWeingarten method"
                 )
-            return leapfrog_qpq_sw(u, h, force_gauge, dtau, md_steps, force_fermion, nsw)
-        return leapfrog_qpq(u, h, force_gauge, dtau, md_steps, force_fermion)
+            return leapfrog_qpq_sw(
+                u, h, force_gauge, dtau, md_steps, force_fermion, nsw, unroll=unroll
+            )
+        return leapfrog_qpq(u, h, force_gauge, dtau, md_steps, force_fermion, unroll=unroll)
     if scheme == "PQP":
         if sexton_weingarten:
             raise ValueError("PQP update with SextonWeingarten is not supported")
-        return leapfrog_pqp(u, h, force_gauge, dtau, md_steps, force_fermion)
+        return leapfrog_pqp(u, h, force_gauge, dtau, md_steps, force_fermion, unroll=unroll)
     raise ValueError(f"unknown MD scheme {scheme!r}")

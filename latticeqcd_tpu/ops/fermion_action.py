@@ -27,6 +27,7 @@ sampled action.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -72,6 +73,7 @@ class WilsonFermiAction:
     def _phased(self, u):
         return apply_boundary_phases(u, self.dirac.bc)
 
+    @partial(jax.jit, static_argnums=0)
     def sample_pseudofermion(self, u, key):
         """phi = D xi with unit Gaussian xi; S_old = |xi|^2 exactly
         (the reference's Sfold = dot(xi,xi), standardHMC.jl:54)."""
@@ -82,6 +84,7 @@ class WilsonFermiAction:
         phi = self.dirac.apply(up, xi)
         return jnp.real(inner(xi, xi)), phi
 
+    @partial(jax.jit, static_argnums=0)
     def action(self, u, phi):
         up = self._phased(u)
         x, _, _ = solvers.cg(
@@ -89,6 +92,7 @@ class WilsonFermiAction:
         )
         return jnp.real(inner(phi, x))
 
+    @partial(jax.jit, static_argnums=(0, 3))
     def force(self, u, phi, smear_fn=None):
         """Exact force; with smear_fn the chain rule through the stout
         stack is JAX autodiff, replacing the reference's hand-written
@@ -137,6 +141,7 @@ class DomainwallFermiAction:
     def _phased(self, u):
         return apply_boundary_phases(u, self.dirac.bc)
 
+    @partial(jax.jit, static_argnums=0)
     def sample_pseudofermion(self, u, key):
         """xi Gaussian 5D; phi = (D_PV^dag)^-1 D(m)^dag xi so that
         S(phi) = |xi|^2 exactly. The PV solve uses CG on
@@ -160,6 +165,7 @@ class DomainwallFermiAction:
         phi = pv.apply(up, w)
         return jnp.real(inner(xi, xi)), phi
 
+    @partial(jax.jit, static_argnums=0)
     def action(self, u, phi):
         up = self._phased(u)
         d = self.dirac
@@ -170,6 +176,7 @@ class DomainwallFermiAction:
         )
         return jnp.real(inner(b, x))
 
+    @partial(jax.jit, static_argnums=(0, 3))
     def force(self, u, phi, smear_fn=None):
         """dS = 2 Re<phi, dD_PV X> - <X, d(D^dag D) X> with
         X = (D^dag D)^-1 D_PV^dag phi held fixed (implicit diff)."""
@@ -239,6 +246,7 @@ class StaggeredFermiAction:
         return lambda v: self.dirac.apply_w_even(up, v)
 
     # -------------------------------------------------------------- sample
+    @partial(jax.jit, static_argnums=0)
     def sample_pseudofermion(self, u, key):
         """phi = W^(Nf/8npf) xi_e, xi_e Gaussian on even sites:
         S_old = |xi|^2 up to the rational tolerance. Returns the stacked
@@ -275,6 +283,7 @@ class StaggeredFermiAction:
             self.action_beta, lo, hi, tol=self.rational_tol
         )
 
+    @partial(jax.jit, static_argnums=0)
     def action(self, u, phi):
         up = self._phased(u)
         pf = self._pf_action()
@@ -291,6 +300,7 @@ class StaggeredFermiAction:
         return total
 
     # --------------------------------------------------------------- force
+    @partial(jax.jit, static_argnums=(0, 3))
     def force(self, u, phi, smear_fn=None):
         """Exact RHMC force via partial fractions; smearing chain rule
         by autodiff (see WilsonFermiAction.force)."""

@@ -107,17 +107,19 @@ def _su2_from_quat(w0, w1, w2, w3, dtype):
 
 def _kp_sample_a0(key, alpha, mask, iteration_max):
     """Kennedy-Pendleton: sample a0 in [-1,1] with density
-    ~ sqrt(1-a0^2) exp(alpha a0), vectorized over sites with a bounded
-    rejection loop (ITERATION_MAX)."""
+    ~ sqrt(1-a0^2) exp(alpha a0), vectorized over sites.
+
+    The bounded rejection loop (ITERATION_MAX semantics) runs a FIXED
+    trip count with a done-mask: per-try acceptance is O(1), so
+    48 masked tries push the failure probability below 1e-10/site,
+    and a fixed fori_loop (unlike while_loop) may nest inside the
+    color loop on the TPU backend."""
     shape = alpha.shape
     alpha = jnp.maximum(alpha, 1e-30)
+    kp_iters = int(min(iteration_max, 48))
 
-    def cond(carry):
-        it, done, _, _ = carry
-        return jnp.logical_and(it < iteration_max, ~jnp.all(done))
-
-    def body(carry):
-        it, done, a0, key = carry
+    def body(it, carry):
+        done, a0, key = carry
         key, k1, k2, k3, k4 = jax.random.split(key, 5)
         tiny = 1e-30
         r1 = jax.random.uniform(k1, shape, minval=tiny, maxval=1.0)
@@ -129,11 +131,11 @@ def _kp_sample_a0(key, alpha, mask, iteration_max):
         newly = jnp.logical_and(accept, ~done)
         a0 = jnp.where(newly, 1.0 - delta, a0)
         done = jnp.logical_or(done, accept)
-        return it + 1, done, a0, key
+        return done, a0, key
 
     done0 = ~mask  # only masked sites need a sample
     a0_init = jnp.ones(shape, dtype=alpha.dtype)
-    _, _, a0, key = jax.lax.while_loop(cond, body, (0, done0, a0_init, key))
+    done, a0, key = jax.lax.fori_loop(0, kp_iters, body, (done0, a0_init, key))
     return jnp.clip(a0, -1.0, 1.0), key
 
 
@@ -191,15 +193,21 @@ class Heatbath:
 
     # ------------------------------------------------------------------
     def _sweep_impl(self, u, key, or_mode: bool):
+        """Per direction mu: lax.fori_loop over the color masks (one
+        shared body graph, so a 256-color general-action sweep does
+        not unroll into a 256x larger program), python loop over the
+        SU(2) subgroups."""
         nc = self.action.nc
         lattice = u.shape[1:5]
         moduli = _color_moduli(self.action, lattice)
         plaq_eo = self.action.max_extent() == 1 and all(l % 2 == 0 for l in lattice)
-        masks = _parity_masks(lattice, moduli, plaq_eo)
+        masks = jnp.stack(_parity_masks(lattice, moduli, plaq_eo))
         subgroups = [(i, j) for i in range(nc) for j in range(i + 1, nc)]
 
-        for mu in range(DIRS):
-            for mask in masks:
+        def color_body(mu):
+            def body(c, carry):
+                u, key = carry
+                mask = masks[c]
                 # staple of the current links; weight exp((2/NC) Re tr(U V))
                 v = ga.staples(self.action, u, mu)
                 k_mat = (2.0 / nc) * v
@@ -229,4 +237,11 @@ class Heatbath:
                         v2 = sun.mul(v_w, v_x)
                     u_mu = _embed_apply(u_mu, v2, i, j, mask)
                 u = u.at[mu].set(u_mu)
+                return (u, key)
+
+            return body
+
+        ncolor = masks.shape[0]
+        for mu in range(DIRS):
+            u, key = jax.lax.fori_loop(0, ncolor, color_body(mu), (u, key))
         return u, key

@@ -46,15 +46,116 @@ class HMC:
     nsw: int = 2
     fermi_action: Optional[Any] = None
     smearing: Optional[Any] = None
+    staged: Optional[bool] = None  # None = auto (staged off-CPU dynamical)
 
     @property
     def quench(self) -> bool:
         return self.fermi_action is None
 
+    def _use_staged(self) -> bool:
+        """Dynamical trajectories on the TPU backend run as a sequence
+        of small jitted programs instead of one fused program: the
+        axon remote compiler stalls/fails on large monolithic graphs
+        with many solver while_loops, while each phase compiles in
+        seconds (and solvers may not nest in fori_loop there)."""
+        if self.staged is not None:
+            return self.staged
+        if self.quench:
+            return False
+        return jax.default_backend() not in ("cpu",)
+
     # ---------------------------------------------------------------- step
-    @partial(jax.jit, static_argnums=0)
     def step(self, u: jnp.ndarray, key: jnp.ndarray):
-        """One HMC trajectory: (U, key) -> (U', stats).
+        """One HMC trajectory: (U, key) -> (U', key', stats)."""
+        if self._use_staged():
+            return self._step_staged(u, key)
+        return self._step_fused(u, key)
+
+    # ------------------------------------------------- staged (multi-program)
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _u_update_jit(self, u, h, eps):
+        return integrators.update_links(u, h, eps)
+
+    @partial(jax.jit, static_argnums=0)
+    def _gauge_kick_jit(self, u, h, eps):
+        return h + eps * ga.force(self.action, u)
+
+    @partial(jax.jit, static_argnums=0)
+    def _draw_momentum_jit(self, u, key):
+        return sun.random_hermitian_momentum(key, u.shape[:-2], self.action.nc, dtype=u.dtype)
+
+    @partial(jax.jit, static_argnums=0)
+    def _energy_jit(self, u, h):
+        return sun.kinetic_energy(h), ga.action_value(self.action, u)
+
+    @partial(jax.jit, static_argnums=0)
+    def _plaq_jit(self, u):
+        return ga.mean_plaquette(u)
+
+    def _step_staged(self, u, key):
+        u0 = u  # restored on reject (standardHMC.jl:45,85)
+        key, k_mom, k_ferm, k_acc = jax.random.split(key, 4)
+        h = self._draw_momentum_jit(u, k_mom)
+
+        fa = self.fermi_action
+        smear_fn = self.smearing.smear if self.smearing is not None else None
+        s_f_old = 0.0
+        eta = None
+        if not self.quench:
+            us = self._smear(u)
+            s_f_old, eta = fa.sample_pseudofermion(us, k_ferm)
+
+        sp_old, sg_old = self._energy_jit(u, h)
+        s_old = sp_old + sg_old + s_f_old
+
+        dtau = self.dtau
+        if self.scheme != "QPQ":
+            raise ValueError("staged path implements the QPQ schemes")
+        for _ in range(self.md_steps):
+            if self.sexton_weingarten and not self.quench:
+                for _ in range(self.nsw // 2):
+                    u = self._u_update_jit(u, h, 0.5 * dtau / self.nsw)
+                    h = self._gauge_kick_jit(u, h, dtau / self.nsw)
+                    u = self._u_update_jit(u, h, 0.5 * dtau / self.nsw)
+                h = h + dtau * fa.force(u, eta, smear_fn=smear_fn)
+                for _ in range(self.nsw // 2):
+                    u = self._u_update_jit(u, h, 0.5 * dtau / self.nsw)
+                    h = self._gauge_kick_jit(u, h, dtau / self.nsw)
+                    u = self._u_update_jit(u, h, 0.5 * dtau / self.nsw)
+            else:
+                u = self._u_update_jit(u, h, 0.5 * dtau)
+                h = self._gauge_kick_jit(u, h, dtau)
+                if not self.quench:
+                    h = h + dtau * fa.force(u, eta, smear_fn=smear_fn)
+                u = self._u_update_jit(u, h, 0.5 * dtau)
+
+        sp_new, sg_new = self._energy_jit(u, h)
+        s_f_new = 0.0
+        if not self.quench:
+            s_f_new = jnp.real(fa.action(self._smear(u), eta))
+        s_new = sp_new + sg_new + s_f_new
+
+        d_h = s_new - s_old
+        rdtype = jnp.float64 if u.dtype == jnp.complex128 else jnp.float32
+        accept = bool(jnp.exp(-d_h) >= jax.random.uniform(k_acc, dtype=rdtype))
+        u_out = u if accept else u0
+        stats = {
+            "accepted": accept,
+            "dH": d_h,
+            "sg_old": sg_old,
+            "sg_new": sg_new,
+            "sp_old": sp_old,
+            "sp_new": sp_new,
+            "sf_old": s_f_old,
+            "sf_new": s_f_new,
+            "plaq": self._plaq_jit(u_out),
+        }
+        return u_out, key, stats
+
+    # -------------------------------------------------- fused (one program)
+    @partial(jax.jit, static_argnums=0)
+    def _step_fused(self, u: jnp.ndarray, key: jnp.ndarray):
+        """One HMC trajectory as a single jitted program.
 
         stats: dict with accepted (bool), dH, sg_old/new, plaq.
         """

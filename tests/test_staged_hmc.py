@@ -1,0 +1,58 @@
+"""The staged (multi-program) HMC path must reproduce the fused path.
+
+The staged path exists because the TPU backend cannot run solver
+while_loops inside lax MD loops and stalls on huge fused graphs
+(see CLAUDE.md); physics must be identical.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from latticeqcd_tpu.ops import fields, gauge_action as ga
+from latticeqcd_tpu.ops.dirac.staggered import StaggeredDirac
+from latticeqcd_tpu.ops.fermion_action import StaggeredFermiAction
+from latticeqcd_tpu.updates import HMC
+
+LAT = (4, 4, 4, 4)
+
+
+def test_staged_matches_fused_quenched():
+    u = fields.hot_start(LAT, 3, seed=91)
+    act = ga.wilson_gauge_action(3, 5.7)
+    key = jax.random.PRNGKey(3)
+    fused = HMC(action=act, dtau=0.05, md_steps=6, staged=False)
+    staged = HMC(action=act, dtau=0.05, md_steps=6, staged=True)
+    u1, _, st1 = fused.step(u, key)
+    u2, _, st2 = staged.step(u, key)
+    assert abs(float(st1["dH"]) - float(st2["dH"])) < 1e-9
+    assert bool(st1["accepted"]) == bool(st2["accepted"])
+    assert float(jnp.max(jnp.abs(u1 - u2))) < 1e-10
+
+
+def test_staged_matches_fused_dynamical():
+    u = fields.hot_start(LAT, 3, seed=92)
+    fa = StaggeredFermiAction(StaggeredDirac(mass=0.5, lattice=LAT), nf=4, eps_cg=1e-20)
+    act = ga.wilson_gauge_action(3, 5.7)
+    key = jax.random.PRNGKey(4)
+    fused = HMC(action=act, dtau=0.05, md_steps=3, fermi_action=fa, staged=False)
+    staged = HMC(action=act, dtau=0.05, md_steps=3, fermi_action=fa, staged=True)
+    u1, _, st1 = fused.step(u, key)
+    u2, _, st2 = staged.step(u, key)
+    assert abs(float(st1["dH"]) - float(st2["dH"])) < 1e-7
+    assert bool(st1["accepted"]) == bool(st2["accepted"])
+
+
+def test_staged_sexton_weingarten():
+    u = fields.hot_start(LAT, 3, seed=93)
+    fa = StaggeredFermiAction(StaggeredDirac(mass=0.5, lattice=LAT), nf=4, eps_cg=1e-20)
+    act = ga.wilson_gauge_action(3, 5.7)
+    key = jax.random.PRNGKey(5)
+    fused = HMC(action=act, dtau=0.1, md_steps=2, fermi_action=fa,
+                sexton_weingarten=True, nsw=4, staged=False)
+    staged = HMC(action=act, dtau=0.1, md_steps=2, fermi_action=fa,
+                 sexton_weingarten=True, nsw=4, staged=True)
+    u1, _, st1 = fused.step(u, key)
+    u2, _, st2 = staged.step(u, key)
+    assert abs(float(st1["dH"]) - float(st2["dH"])) < 1e-7
+    assert bool(st1["accepted"]) == bool(st2["accepted"])
