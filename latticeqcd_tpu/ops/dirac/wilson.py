@@ -109,7 +109,7 @@ class WilsonDirac:
 
     def apply_dagger(self, u: jnp.ndarray, psi: jnp.ndarray) -> jnp.ndarray:
         """D^dag psi = g5 D g5 psi (gamma5-hermiticity)."""
-        g5 = jnp.asarray(np.diag(gammas.GAMMA5).real, dtype=jnp.float64)
+        g5 = jnp.asarray(np.diag(gammas.GAMMA5).real, dtype=psi.dtype)
         psi5 = psi * g5[:, None]
         return self.apply(u, psi5) * g5[:, None]
 

@@ -93,10 +93,15 @@ def test_general_action_heatbath_matches_hmc():
         u, key = hb.sweep(u, key)
         ps_hb.append(float(ga.mean_plaquette(u)))
 
-    hmc = HMC(action=act, dtau=0.1, md_steps=10)
+    # dtau=0.1 gives 0% acceptance for the rect-improved force; 0.05/20
+    # accepts ~90%
+    hmc = HMC(action=act, dtau=0.05, md_steps=20)
     u2, key2 = fields.hot_start(lat, 2, seed=85), jax.random.PRNGKey(6)
-    for _ in range(20):
-        u2, key2, _ = hmc.step(u2, key2)
+    n_acc = 0
+    for _ in range(25):
+        u2, key2, st = hmc.step(u2, key2)
+        n_acc += int(st["accepted"])
+    assert n_acc > 10
     ps_hmc = []
     for _ in range(40):
         u2, key2, _ = hmc.step(u2, key2)
