@@ -88,7 +88,13 @@ def run_lqcd_file(filename, make_dirs: bool = True, dtype=jnp.complex128, shard_
         parameters = filename
     else:
         ext = os.path.splitext(str(filename))[1]
-        if ext not in (".toml", ""):
+        if ext == ".jl":
+            # legacy pre-1.0 input: convert like the reference (lqcd.jl:51)
+            from latticeqcd_tpu.system.legacy_input import transform_to_toml
+
+            filename = transform_to_toml(str(filename))
+            print(f"input file transformed to {filename}")
+        elif ext not in (".toml", ""):
             raise ValueError(f"{filename} is not supported. use a TOML format.")
         parameters = construct_params_from_toml(filename, make_dirs=make_dirs)
     return run_lqcd_params(parameters, make_dirs=make_dirs, dtype=dtype, shard_mesh=shard_mesh)

@@ -163,7 +163,11 @@ def write_toml(params: dict, filename: str) -> str:
     lines = []
 
     def emit_table(path, table):
-        scalar = {k: v for k, v in table.items() if not isinstance(v, dict)}
+        scalar = {
+            k: ("nothing" if v is None else v)
+            for k, v in table.items()
+            if not isinstance(v, dict)
+        }
         subs = {k: v for k, v in table.items() if isinstance(v, dict)}
         if scalar or not subs:
             lines.append("[" + ".".join(_quote_key(p) for p in path) + "]")
