@@ -101,9 +101,13 @@ def run_lqcd_file(filename, make_dirs: bool = True, dtype=jnp.complex128, shard_
 
 
 def run_lqcd_params(p: Params, make_dirs: bool = True, dtype=jnp.complex128, shard_mesh=None,
-                    resume_checkpoint=None):
+                    resume_checkpoint=None, profile_dir=None):
     """resume_checkpoint: path to a native checkpoint.npz — restores the
-    links, PRNG key and trajectory counter for bitwise continuation."""
+    links, PRNG key and trajectory counter for bitwise continuation.
+    profile_dir: write an XLA/TensorBoard trace of the run there."""
+    from latticeqcd_tpu.utils.timers import PhaseTimers, xla_trace
+
+    timers = PhaseTimers()
     key = jax.random.PRNGKey(p.randomseed)
 
     univ = build_universe(p, dtype=dtype)
@@ -147,47 +151,53 @@ def run_lqcd_params(p: Params, make_dirs: bool = True, dtype=jnp.complex128, sha
 
     numaccepts = 0
     t_all = time.time()
-    for itrj in range(p.initialtrj, nsteps + 1):
-        vp.println_verbose_level1(f"# itrj = {itrj}")
-        t0 = time.time()
-        u, key, stats = _do_update(updater, u, key)
-        jax.block_until_ready(u)
-        accepted = bool(stats["accepted"])
-        vp.println_verbose_level1(f"Update: Elapsed time {time.time()-t0} [s]")
-        if "dH" in stats:
-            vp.println_verbose_level2(
-                f"Snew - Sold = {float(stats['dH'])}; "
-                + ("Accepted" if accepted else "Rejected")
+    with xla_trace(profile_dir):
+        for itrj in range(p.initialtrj, nsteps + 1):
+            vp.println_verbose_level1(f"# itrj = {itrj}")
+            t0 = time.time()
+            with timers.phase("update"):
+                u, key, stats = _do_update(updater, u, key)
+                jax.block_until_ready(u)
+            accepted = bool(stats["accepted"])
+            vp.println_verbose_level1(f"Update: Elapsed time {time.time()-t0} [s]")
+            if "dH" in stats:
+                vp.println_verbose_level2(
+                    f"Snew - Sold = {float(stats['dH'])}; "
+                    + ("Accepted" if accepted else "Rejected")
+                )
+            if accepted:
+                numaccepts += 1
+            with timers.phase("save"):
+                savedata.save(u, itrj, key=key)
+
+            with timers.phase("measure"):
+                for st in measurements.calc_measurement_values(itrj, u):
+                    pass  # measurement files and verbose handled inside
+
+            # flowed measurements (lqcd.jl:150-165)
+            if measurements_for_flow.measurements and p.numflow > 0:
+                with timers.phase("gradientflow"):
+                    usmr = u
+                    for istep in range(1, p.numflow + 1):
+                        for _ in range(p.Nflow):
+                            usmr = gf.flow(usmr)
+                        # sync each istep: unbounded async dispatch of
+                        # collective programs can deadlock XLA's in-process
+                        # CPU communicator (8-virtual-device test mesh)
+                        jax.block_until_ready(usmr)
+                        tau = istep * dtau_flow
+                        additional = f"{itrj} {istep} {tau} "
+                        for m in measurements_for_flow.measurements:
+                            if m.interval > 0 and istep % m.interval == 0:
+                                m.measure(usmr, itrj, additional_string=additional)
+
+            vp.println_verbose_level1(
+                f"Acceptance {numaccepts}/{itrj} : {round(numaccepts*100/itrj)} %"
             )
-        if accepted:
-            numaccepts += 1
-        savedata.save(u, itrj, key=key)
-
-        for st in measurements.calc_measurement_values(itrj, u):
-            pass  # measurement files and verbose handled inside
-
-        # flowed measurements (lqcd.jl:150-165)
-        if measurements_for_flow.measurements and p.numflow > 0:
-            usmr = u
-            for istep in range(1, p.numflow + 1):
-                for _ in range(p.Nflow):
-                    usmr = gf.flow(usmr)
-                # sync each istep: unbounded async dispatch of collective
-                # programs can deadlock XLA's in-process CPU communicator
-                # (observed with the 8-virtual-device test mesh)
-                jax.block_until_ready(usmr)
-                tau = istep * dtau_flow
-                additional = f"{itrj} {istep} {tau} "
-                for m in measurements_for_flow.measurements:
-                    if m.interval > 0 and istep % m.interval == 0:
-                        m.measure(usmr, itrj, additional_string=additional)
-
-        vp.println_verbose_level1(
-            f"Acceptance {numaccepts}/{itrj} : {round(numaccepts*100/itrj)} %"
-        )
-        vp.flush()
+            vp.flush()
 
     vp.println_verbose_level1(f"Total Elapsed time {time.time()-t_all} [s]")
+    vp.println_verbose_level1(timers.report())
     measurements.close()
     measurements_for_flow.close()
     plaq = float(ga.mean_plaquette(u))
