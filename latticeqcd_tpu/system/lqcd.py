@@ -35,7 +35,7 @@ from latticeqcd_tpu.updates.hmc import HMC
 
 
 def _do_update(updater, u, key):
-    if isinstance(updater, HMC):
+    if hasattr(updater, "step"):  # HMC / SLHMC / SLMC
         return updater.step(u, key)
     u, key, accepted = updater.update(u, key)
     return u, key, {"accepted": accepted}
@@ -165,6 +165,9 @@ def run_lqcd_params(p: Params, make_dirs: bool = True, dtype=jnp.complex128, sha
                     f"Snew - Sold = {float(stats['dH'])}; "
                     + ("Accepted" if accepted else "Rejected")
                 )
+            if "beta_eff" in stats:
+                # effective-coupling trace (mainrun.jl:599 "betaeffs = ")
+                vp.println_verbose_level2(f"beta_eff = {stats['beta_eff']}")
             if accepted:
                 numaccepts += 1
             with timers.phase("save"):

@@ -203,7 +203,7 @@ def run_wizard(filename: Optional[str] = None, interactive: bool = True, **kwarg
             L=L,
             NC=ask("NC", 3, int),
             beta=ask("beta", 5.7, float),
-            update_method=ask("update method (HMC/Heatbath/Fileloading)", "HMC"),
+            update_method=ask("update method (HMC/Heatbath/Fileloading/SLHMC/SLMC)", "HMC"),
             initial=ask("initial (cold/hot/one instanton)", "cold"),
             nsteps=ask("number of trajectories", 100, int),
         )

@@ -39,7 +39,10 @@ DIRS = 4
 
 def _color_moduli(action: ga.GaugeAction, lattice) -> tuple:
     """Per-axis coloring modulus: smallest m > extent with m | L (else L)."""
-    ext = action.max_extent()
+    return _color_moduli_ext(action.max_extent(), lattice)
+
+
+def _color_moduli_ext(ext: int, lattice) -> tuple:
     if ext == 1:
         return (2, 2, 2, 2) if all(l % 2 == 0 for l in lattice) else tuple(lattice)
     moduli = []
@@ -172,6 +175,11 @@ class Heatbath:
     iteration_max: int = 10**5
     use_or: bool = False
     num_or: int = 3
+    # Optional coupling basis (tuple of unit-coupling GaugeActions): when
+    # set, sweeps take a traced coefficient vector and the staple is
+    # sum_i coeffs[i] * staples(basis[i]) — used by SLMC so learned-beta
+    # updates replay the same compiled program (updates/slhmc.py).
+    basis: Optional[tuple] = None
 
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnums=0)
@@ -181,6 +189,14 @@ class Heatbath:
     @partial(jax.jit, static_argnums=0)
     def overrelax(self, u: jnp.ndarray, key: jnp.ndarray):
         return self._sweep_impl(u, key, or_mode=True)
+
+    @partial(jax.jit, static_argnums=0)
+    def sweep_with_coeffs(self, u: jnp.ndarray, key: jnp.ndarray, coeffs: jnp.ndarray):
+        return self._sweep_impl(u, key, or_mode=False, coeffs=coeffs)
+
+    @partial(jax.jit, static_argnums=0)
+    def overrelax_with_coeffs(self, u: jnp.ndarray, key: jnp.ndarray, coeffs: jnp.ndarray):
+        return self._sweep_impl(u, key, or_mode=True, coeffs=coeffs)
 
     def update(self, u: jnp.ndarray, key: jnp.ndarray):
         """One full update: sweep + numOR overrelaxations; returns
@@ -192,15 +208,29 @@ class Heatbath:
         return u, key, True
 
     # ------------------------------------------------------------------
-    def _sweep_impl(self, u, key, or_mode: bool):
+    def _sweep_impl(self, u, key, or_mode: bool, coeffs=None):
         """Per direction mu: lax.fori_loop over the color masks (one
         shared body graph, so a 256-color general-action sweep does
         not unroll into a 256x larger program), python loop over the
         SU(2) subgroups."""
         nc = self.action.nc
         lattice = u.shape[1:5]
-        moduli = _color_moduli(self.action, lattice)
-        plaq_eo = self.action.max_extent() == 1 and all(l % 2 == 0 for l in lattice)
+        if coeffs is not None and self.basis is not None:
+            max_ext = max(a.max_extent() for a in self.basis)
+
+            def staple_of(uu, mu):
+                v = 0.0
+                for i, a in enumerate(self.basis):
+                    v = v + coeffs[i] * ga.staples(a, uu, mu)
+                return v
+        else:
+            max_ext = self.action.max_extent()
+
+            def staple_of(uu, mu):
+                return ga.staples(self.action, uu, mu)
+
+        moduli = _color_moduli_ext(max_ext, lattice)
+        plaq_eo = max_ext == 1 and all(l % 2 == 0 for l in lattice)
         masks = jnp.stack(_parity_masks(lattice, moduli, plaq_eo))
         subgroups = [(i, j) for i in range(nc) for j in range(i + 1, nc)]
 
@@ -209,7 +239,7 @@ class Heatbath:
                 u, key = carry
                 mask = masks[c]
                 # staple of the current links; weight exp((2/NC) Re tr(U V))
-                v = ga.staples(self.action, u, mu)
+                v = staple_of(u, mu)
                 k_mat = (2.0 / nc) * v
                 u_mu = u[mu]
                 for (i, j) in subgroups:
