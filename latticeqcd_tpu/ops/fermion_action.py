@@ -245,6 +245,15 @@ class StaggeredFermiAction:
     def _w(self, up):
         return lambda v: self.dirac.apply_w_even(up, v)
 
+    # The CG/HMC hot loop runs in the PACKED even-odd layout (V/2-site
+    # arrays, see StaggeredDirac.apply_w_packed) whenever the x extent
+    # is even; pack/unpack happen once per solve, not per iteration.
+    def _packed(self) -> bool:
+        return all(l % 2 == 0 for l in self.dirac.lattice)
+
+    def _w_p(self, ueo):
+        return lambda v: self.dirac.apply_w_packed(ueo, v)
+
     # -------------------------------------------------------------- sample
     @partial(jax.jit, static_argnums=0)
     def sample_pseudofermion(self, u, key):
@@ -257,23 +266,27 @@ class StaggeredFermiAction:
         even = self.dirac.even_mask[..., None]
         lo, hi = self._bounds()
         beta = self.sample_beta
+        packed = self._packed()
+        ueo = self.dirac.packed_links(up) if packed else None
         phis = []
         s_old = 0.0
         for i in range(self.n_pf):
             key, sub = jax.random.split(key)
             xi = jnp.where(even, gaussian_spinor(sub, lattice, nc, nspin=1, dtype=u.dtype), 0.0)
             s_old = s_old + jnp.real(inner(xi, xi))
+            xi_w = self.dirac.pack(xi, 0) if packed else xi
+            w = self._w_p(ueo) if packed else self._w(up)
             if abs(beta - 1.0) < 1e-14:
-                phi = self._w(up)(xi)
+                phi = w(xi_w)
             else:
                 pf = rational.rational_power(beta, lo, hi, tol=self.rational_tol)
                 ys, _, _ = solvers.multishift_cg(
-                    self._w(up), xi, pf.shifts, eps=self.eps_cg, maxiter=self.max_cg
+                    w, xi_w, pf.shifts, eps=self.eps_cg, maxiter=self.max_cg
                 )
-                phi = pf.const * xi
+                phi = pf.const * xi_w
                 for j, a in enumerate(pf.residues):
                     phi = phi + a * ys[j]
-            phis.append(phi)
+            phis.append(self.dirac.unpack(phi, 0) if packed else phi)
         return s_old, jnp.stack(phis)
 
     # -------------------------------------------------------------- action
@@ -287,11 +300,14 @@ class StaggeredFermiAction:
     def action(self, u, phi):
         up = self._phased(u)
         pf = self._pf_action()
+        packed = self._packed()
+        ueo = self.dirac.packed_links(up) if packed else None
+        w = self._w_p(ueo) if packed else self._w(up)
         total = 0.0
         for i in range(self.n_pf):
-            p = phi[i]
+            p = self.dirac.pack(phi[i], 0) if packed else phi[i]
             xs, _, _ = solvers.multishift_cg(
-                self._w(up), p, pf.shifts, eps=self.eps_cg, maxiter=self.max_cg
+                w, p, pf.shifts, eps=self.eps_cg, maxiter=self.max_cg
             )
             s = pf.const * jnp.real(inner(p, p))
             for j, a in enumerate(pf.residues):
@@ -307,10 +323,14 @@ class StaggeredFermiAction:
         pf = self._pf_action()
         us = smear_fn(u) if smear_fn is not None else u
         up = self._phased(us)
+        packed = self._packed()
+        ueo = self.dirac.packed_links(up) if packed else None
+        w = self._w_p(ueo) if packed else self._w(up)
         xs_all = []
         for i in range(self.n_pf):
+            b = self.dirac.pack(phi[i], 0) if packed else phi[i]
             xs, _, _ = solvers.multishift_cg(
-                self._w(up), phi[i], pf.shifts, eps=self.eps_cg, maxiter=self.max_cg
+                w, b, pf.shifts, eps=self.eps_cg, maxiter=self.max_cg
             )
             xs_all.append(jax.lax.stop_gradient(xs))
 
@@ -319,12 +339,15 @@ class StaggeredFermiAction:
         def c(uu):
             uus = smear_fn(uu) if smear_fn is not None else uu
             uup = apply_boundary_phases(uus, self.dirac.bc)
+            if packed:
+                ueo_d = self.dirac.packed_links(uup)  # differentiable gather
+                w_d = self._w_p(ueo_d)
+            else:
+                w_d = self._w(uup)
             acc = 0.0
             for xs in xs_all:
                 for j in range(len(pf.residues)):
-                    acc = acc + residues[j] * jnp.real(
-                        inner(xs[j], self.dirac.apply_w_even(uup, xs[j]))
-                    )
+                    acc = acc + residues[j] * jnp.real(inner(xs[j], w_d(xs[j])))
             return acc
 
         g = jax.grad(c)(u)
