@@ -9,7 +9,13 @@ from __future__ import annotations
 from latticeqcd_tpu.updates.fileloading import GivenConfigurations
 from latticeqcd_tpu.updates.heatbath import Heatbath
 from latticeqcd_tpu.updates.hmc import HMC
-from latticeqcd_tpu.updates.slhmc import SLHMC, SLMC
+from latticeqcd_tpu.updates.slhmc import (
+    SLHMC,
+    SLMC,
+    dense_logdet_fermi_action,
+    integrated_hb,
+    integrated_hmc,
+)
 
 
 def updatemethod(p, univ):
@@ -67,4 +73,61 @@ def updatemethod(p, univ):
             lattice=p.L,
             iteration_max=p.ITERATION_MAX,
         )
+    if method == "IntegratedHMC":
+        # legacy integrated-fermion HMC (mainrun.jl:475-500): gauge-only
+        # MD, exact -log det fermion action in the Metropolis test
+        return integrated_hmc(
+            univ.gauge_action,
+            dtau=p.dtau,
+            md_steps=p.MDsteps,
+            fermi_logdet=_exact_logdet(p, univ),
+            scheme="QPQ" if p.QPQ else "PQP",
+        )
+    if method == "IntegratedHB":
+        # legacy integrated-fermion heatbath (mainrun.jl:550-577)
+        return integrated_hb(
+            univ.gauge_action,
+            fermi_logdet=_exact_logdet(p, univ),
+            beta_eff=p.beta_eff,
+            iteration_max=p.ITERATION_MAX,
+        )
     raise ValueError(f"update_method {method!r} is not supported")
+
+
+_INTEGRATED_MAX_DIM = 4608  # 4^4 Wilson = 3072; dense logdet is O(dim^3)
+
+
+def _exact_logdet(p, univ):
+    """U -> S_f(U) = -w log det(D^dag D), dense, for the Integrated*
+    updaters (small lattices only)."""
+    fa = univ.fermi_action
+    if fa is None:
+        return None
+    from latticeqcd_tpu.ops.dirac.wilson import apply_boundary_phases
+    from latticeqcd_tpu.ops.fermion_action import (
+        StaggeredFermiAction,
+        WilsonFermiAction,
+    )
+
+    lat = tuple(p.L)
+    if isinstance(fa, StaggeredFermiAction):
+        psi_shape = lat + (p.NC,)
+        weight = fa.nf / 8.0  # det(D)^(Nf/4) = det(DdagD)^(Nf/8)
+    elif isinstance(fa, WilsonFermiAction):
+        psi_shape = lat + (4, p.NC)
+        weight = 1.0  # two flavors: det(D)^2 = det(DdagD)
+    else:
+        raise ValueError(
+            "IntegratedHMC/IntegratedHB support Wilson/Staggered fermions only"
+        )
+    dim = 1
+    for n in psi_shape:
+        dim *= n
+    if dim > _INTEGRATED_MAX_DIM:
+        raise ValueError(
+            f"Integrated updaters build the dense Dirac matrix (dim={dim} > "
+            f"{_INTEGRATED_MAX_DIM}); use HMC/SLHMC for lattices this large"
+        )
+    bc = tuple(p.BoundaryCondition)
+    sf = dense_logdet_fermi_action(fa.dirac, psi_shape, weight)
+    return lambda u: sf(apply_boundary_phases(u, bc))

@@ -374,6 +374,47 @@ def dense_logdet_fermi_action(dirac, psi_shape, weight: float, dtype=jnp.complex
     return s_f
 
 
+def integrated_hmc(action: ga.GaugeAction, dtau: float, md_steps: int,
+                   fermi_logdet=None, scheme: str = "QPQ") -> "SLHMC":
+    """IntegratedHMC (legacy /root/reference/src/system/mainrun.jl:475-500):
+    gauge-only MD, Metropolis on S_g + S_f with the EXACT (integrated)
+    fermion action S_f = -log det — i.e. SLHMC with the effective action
+    pinned to the gauge action and no learning, plus a deterministic
+    fermion term at the endpoints. fermi_logdet: callable U -> S_f(U)
+    (dense_logdet_fermi_action for small lattices); None gives the
+    quenched special case."""
+    up = SLHMC(action, dtau, md_steps, scheme=scheme, learn=False)
+    if fermi_logdet is not None:
+        up.fermi_action = _LogdetAsFermiAction(fermi_logdet)
+    return up
+
+
+def integrated_hb(action: ga.GaugeAction, fermi_logdet=None,
+                  beta_eff=None, nsweeps: int = 1,
+                  iteration_max: int = 10 ** 5) -> "SLMC":
+    """IntegratedHB (legacy mainrun.jl:550-577): heatbath proposal under
+    an effective gauge action, reweighting Metropolis against
+    S_g + S_f - S_eff with the exact fermion action — SLMC without
+    learning."""
+    return SLMC(action, beta_eff=beta_eff, fermi_logdet=fermi_logdet,
+                nsweeps=nsweeps, iteration_max=iteration_max, learn=False)
+
+
+class _LogdetAsFermiAction:
+    """Adapts a deterministic U -> S_f callable to the FermiAction
+    protocol consumed by SLHMC.step (no pseudofermions: sampling
+    returns S_f(U) with an empty eta, action ignores eta)."""
+
+    def __init__(self, fermi_logdet):
+        self._sf = fermi_logdet
+
+    def sample_pseudofermion(self, u, key):
+        return jnp.real(self._sf(u)), ()
+
+    def action(self, u, eta):
+        return jnp.real(self._sf(u))
+
+
 def _leading_coupling(action: ga.GaugeAction) -> float:
     """Initial beta_eff default: the true action's leading coupling
     (the reference defaults beta_eff to beta, parameter_structs.jl:50)."""

@@ -172,3 +172,77 @@ def test_dense_logdet_free_staggered():
                     total += 3 * np.log(lam)
     want = -0.5 * total
     assert got == pytest.approx(want, rel=1e-10)
+
+
+def test_integrated_hmc_exact_fermion_via_toml(tmp_path):
+    """IntegratedHMC (legacy mainrun.jl:475-500): gauge-only MD with the
+    dense -log det fermion action in the Metropolis test, through the
+    TOML driver on a 4^4 staggered system."""
+    toml = tmp_path / "ihmc.toml"
+    toml.write_text(
+        """
+["Physical setting"]
+L = [4, 4, 4, 4]
+"β" = 5.7
+NC = 3
+Nsteps = 2
+update_method = "IntegratedHMC"
+initial = "cold"
+
+["Physical setting(fermions)"]
+quench = false
+Dirac_operator = "Staggered"
+mass = 1.0
+Nf = 4
+
+["HMC related"]
+MDsteps = 5
+"Δτ" = 0.02
+"""
+    )
+    from latticeqcd_tpu.system.lqcd import run_lqcd_file
+
+    plaq = run_lqcd_file(str(toml), make_dirs=False)
+    assert 0.0 < plaq <= 1.0
+
+
+def test_integrated_hb_matches_heatbath_when_quenched():
+    """Quenched IntegratedHB with beta_eff == beta is exact heatbath:
+    every reweighted proposal accepted."""
+    from latticeqcd_tpu.updates.slhmc import integrated_hb
+
+    act = ga.wilson_gauge_action(2, 1.9)
+    up = integrated_hb(act)
+    u = fields.hot_start(LAT, 2, seed=12)
+    key = jax.random.PRNGKey(23)
+    for _ in range(2):
+        u, key, stats = up.step(u, key)
+        assert stats["accepted"] and abs(float(stats["dH"])) < 1e-8
+
+
+def test_integrated_hmc_consistency_small():
+    """The dense logdet changes dH exactly by the fermion-action
+    difference: IntegratedHMC dH == quenched dH + (Sf_new - Sf_old)
+    for the same key (the fermion force never enters the MD)."""
+    from latticeqcd_tpu.ops.dirac.staggered import StaggeredDirac
+    from latticeqcd_tpu.ops.dirac.wilson import apply_boundary_phases
+    from latticeqcd_tpu.updates.slhmc import (
+        dense_logdet_fermi_action,
+        integrated_hmc,
+    )
+
+    lat = (2, 2, 2, 2)
+    act = ga.wilson_gauge_action(3, 5.7)
+    d = StaggeredDirac(mass=0.7, lattice=lat)
+    sf0 = dense_logdet_fermi_action(d, lat + (3,), weight=0.5)
+    sf = lambda u: sf0(apply_boundary_phases(u, (1, 1, 1, -1)))
+
+    u = fields.hot_start(lat, 3, seed=13)
+    key = jax.random.PRNGKey(29)
+
+    up_q = integrated_hmc(act, dtau=0.05, md_steps=4)
+    up_f = integrated_hmc(act, dtau=0.05, md_steps=4, fermi_logdet=sf)
+    _, _, st_q = up_q.step(u, key)
+    u_new, _, st_f = up_f.step(u, key)
+    dsf = float(st_f["sf_new"] - st_f["sf_old"])
+    assert float(st_f["dH"]) == pytest.approx(float(st_q["dH"]) + dsf, abs=1e-9)
