@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from latticeqcd_tpu.ops.dirac import gammas
+from latticeqcd_tpu.ops.dirac import eo_pack, gammas
 
 DIRS = 4
 
@@ -112,6 +112,73 @@ class WilsonDirac:
         g5 = jnp.asarray(np.diag(gammas.GAMMA5).real, dtype=psi.dtype)
         psi5 = psi * g5[:, None]
         return self.apply(u, psi5) * g5[:, None]
+
+    # ------------------------------------------------------------------
+    # Even-odd preconditioning (packed layout, ops/dirac/eo_pack.py)
+    #
+    # D = [[1, -kappa H_eo], [-kappa H_oe, 1]] for csw=0, so
+    # det D = det(Dhat) with the Schur complement on even sites
+    #     Dhat = 1 - kappa^2 H_eo H_oe,
+    # and the solver/HMC hot loop runs on V/2-site packed fields with
+    # a better-conditioned operator (the reference keeps the analogous
+    # even-odd solvers inside LatticeDiracOperators.jl, SURVEY.md 2.5).
+    # ------------------------------------------------------------------
+
+    def packed_links(self, u: jnp.ndarray):
+        lattice = u.shape[1:5]
+        return eo_pack.pack_links(u, lattice)
+
+    def hop_packed(self, u_t, u_s, psi_s, target_parity: int) -> jnp.ndarray:
+        """Hopping term H psi on target-parity sites; psi lives on the
+        source parity (packed layout). Half-spinor form at r=1."""
+        x2 = psi_s.shape[0]
+        lattice = (2 * x2,) + tuple(psi_s.shape[1:4])
+        s_t = eo_pack.offset_field(lattice, target_parity)
+        hop = 0.0
+        if self.r == 1.0:
+            vm, vp = gammas.half_spinor_factors()
+            vm = jnp.asarray(vm, dtype=psi_s.dtype)
+            vp = jnp.asarray(vp, dtype=psi_s.dtype)
+            for mu in range(DIRS):
+                half = jnp.einsum("sh,...sc->...hc", jnp.conj(vm[mu]),
+                                  eo_pack.gather_plus(psi_s, mu, s_t))
+                half = jnp.einsum("...ab,...hb->...ha", u_t[mu], half)
+                hop = hop + 2.0 * jnp.einsum("sh,...hc->...sc", vm[mu], half)
+                half = jnp.einsum("sh,...sc->...hc", jnp.conj(vp[mu]),
+                                  eo_pack.gather_minus(psi_s, mu, s_t))
+                u_m = eo_pack.gather_minus(u_s[mu], mu, s_t)
+                half = jnp.einsum("...ba,...hb->...ha", jnp.conj(u_m), half)
+                hop = hop + 2.0 * jnp.einsum("sh,...hc->...sc", vp[mu], half)
+            return hop
+        pm, pp = gammas.projectors(self.r)
+        pm = jnp.asarray(pm, dtype=psi_s.dtype)
+        pp = jnp.asarray(pp, dtype=psi_s.dtype)
+        for mu in range(DIRS):
+            fwd = jnp.einsum("...ab,...sb->...sa", u_t[mu],
+                             eo_pack.gather_plus(psi_s, mu, s_t))
+            u_m = eo_pack.gather_minus(u_s[mu], mu, s_t)
+            bwd = jnp.einsum("...ba,...sb->...sa", jnp.conj(u_m),
+                             eo_pack.gather_minus(psi_s, mu, s_t))
+            hop = hop + jnp.einsum("st,...tc->...sc", pm[mu], fwd)
+            hop = hop + jnp.einsum("st,...tc->...sc", pp[mu], bwd)
+        return hop
+
+    def apply_dhat(self, u_eo, x_e: jnp.ndarray) -> jnp.ndarray:
+        """Dhat x = x - kappa^2 H_eo H_oe x on packed even fields.
+        Valid for csw=0 only (clover adds a parity-diagonal block)."""
+        u_e, u_o = u_eo
+        d1 = self.hop_packed(u_o, u_e, x_e, target_parity=1)
+        d2 = self.hop_packed(u_e, u_o, d1, target_parity=0)
+        return x_e - self.kappa ** 2 * d2
+
+    def apply_dhat_dagger(self, u_eo, x_e: jnp.ndarray) -> jnp.ndarray:
+        """Dhat^dag = g5 Dhat g5 (gamma5-hermiticity survives the Schur
+        complement: g5 H_eo g5 = H_oe^dag blockwise)."""
+        g5 = jnp.asarray(np.diag(gammas.GAMMA5).real, dtype=x_e.dtype)
+        return self.apply_dhat(u_eo, x_e * g5[:, None]) * g5[:, None]
+
+    def apply_dhat_ddag(self, u_eo, x_e: jnp.ndarray) -> jnp.ndarray:
+        return self.apply_dhat(u_eo, self.apply_dhat_dagger(u_eo, x_e))
 
     def apply_ddag_d(self, u, psi):
         return self.apply_dagger(u, self.apply(u, psi))

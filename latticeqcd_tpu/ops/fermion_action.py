@@ -64,7 +64,14 @@ def _project_force(u, grad_c):
 
 @dataclass(frozen=True)
 class WilsonFermiAction:
-    """S = phi^dag (D D^dag)^-1 phi; weight det(D D^dag) = det(D)^2."""
+    """S = phi^dag (D D^dag)^-1 phi; weight det(D D^dag) = det(D)^2.
+
+    On all-even lattices with csw=0 the pseudofermion lives on PACKED
+    even sites with the Schur-complement operator Dhat = 1 - k^2 H_eo
+    H_oe (det D = det Dhat, so the weight is unchanged): the CG/HMC
+    hot loop then runs on V/2-site fields with a better-conditioned
+    operator (standard even-odd preconditioning; the reference's lives
+    inside LatticeDiracOperators.jl, SURVEY.md 2.5)."""
 
     dirac: WilsonDirac
     eps_cg: float = 1e-19
@@ -73,23 +80,45 @@ class WilsonFermiAction:
     def _phased(self, u):
         return apply_boundary_phases(u, self.dirac.bc)
 
+    def _eo(self, lattice) -> bool:
+        return self.dirac.csw == 0.0 and all(l % 2 == 0 for l in lattice)
+
     @partial(jax.jit, static_argnums=0)
     def sample_pseudofermion(self, u, key):
-        """phi = D xi with unit Gaussian xi; S_old = |xi|^2 exactly
-        (the reference's Sfold = dot(xi,xi), standardHMC.jl:54)."""
+        """phi = D xi (Dhat xi_e on the even-odd path) with unit
+        Gaussian xi; S_old = |xi|^2 exactly (the reference's
+        Sfold = dot(xi,xi), standardHMC.jl:54)."""
         up = self._phased(u)
         lattice = u.shape[1:5]
         nc = u.shape[-1]
+        if self._eo(lattice):
+            half = (lattice[0] // 2,) + tuple(lattice[1:])
+            xi = gaussian_spinor(key, half, nc, nspin=4, dtype=u.dtype)
+            phi = self.dirac.apply_dhat(self.dirac.packed_links(up), xi)
+            return jnp.real(inner(xi, xi)), phi
         xi = gaussian_spinor(key, lattice, nc, nspin=4, dtype=u.dtype)
         phi = self.dirac.apply(up, xi)
         return jnp.real(inner(xi, xi)), phi
 
+    def _solve_normal(self, up, phi):
+        """x = (A A^dag)^-1 phi with A = Dhat (packed phi) or D."""
+        if phi.ndim == 6 and 2 * phi.shape[0] == up.shape[1]:  # packed even
+            ueo = self.dirac.packed_links(up)
+            x, _, _ = solvers.cg(
+                lambda v: self.dirac.apply_dhat_ddag(ueo, v), phi,
+                eps=self.eps_cg, maxiter=self.max_cg,
+            )
+            return x
+        x, _, _ = solvers.cg(
+            lambda v: self.dirac.apply_d_ddag(up, v), phi,
+            eps=self.eps_cg, maxiter=self.max_cg,
+        )
+        return x
+
     @partial(jax.jit, static_argnums=0)
     def action(self, u, phi):
         up = self._phased(u)
-        x, _, _ = solvers.cg(
-            lambda v: self.dirac.apply_d_ddag(up, v), phi, eps=self.eps_cg, maxiter=self.max_cg
-        )
+        x = self._solve_normal(up, phi)
         return jnp.real(inner(phi, x))
 
     @partial(jax.jit, static_argnums=(0, 3))
@@ -100,14 +129,15 @@ class WilsonFermiAction:
         links, the gradient is taken w.r.t. the bare links."""
         us = smear_fn(u) if smear_fn is not None else u
         up = self._phased(us)
-        x, _, _ = solvers.cg(
-            lambda v: self.dirac.apply_d_ddag(up, v), phi, eps=self.eps_cg, maxiter=self.max_cg
-        )
-        x = jax.lax.stop_gradient(x)
+        packed = phi.ndim == 6 and 2 * phi.shape[0] == up.shape[1]
+        x = jax.lax.stop_gradient(self._solve_normal(up, phi))
 
         def c(uu):
             uus = smear_fn(uu) if smear_fn is not None else uu
             uup = apply_boundary_phases(uus, self.dirac.bc)
+            if packed:
+                ueo = self.dirac.packed_links(uup)  # differentiable select
+                return jnp.real(inner(x, self.dirac.apply_dhat_ddag(ueo, x)))
             return jnp.real(inner(x, self.dirac.apply_d_ddag(uup, x)))
 
         g = jax.grad(c)(u)

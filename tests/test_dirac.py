@@ -160,3 +160,60 @@ def test_staggered_schur_solve_dinv(u):
     resid = d.apply(u, x) - b
     rel = float(jnp.linalg.norm(resid) / jnp.linalg.norm(b))
     assert rel < 1e-9
+
+
+def test_wilson_dhat_matches_schur_of_full(u):
+    """Dhat x = x - k^2 H_eo H_oe x agrees with the Schur complement of
+    the full operator applied to an even-supported field."""
+    d = WilsonDirac(kappa=0.141139)
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, LAT + (4, 3, 2))
+    x = (x[..., 0] + 1j * x[..., 1]).astype(jnp.complex128)
+    from latticeqcd_tpu.ops.dirac import eo_pack
+
+    even = StaggeredDirac(mass=1.0, lattice=LAT).even_mask[..., None, None]
+    x_e = jnp.where(even, x, 0.0)
+    # H x = (x - D x)/kappa for even-supported x; H^2 x is even-supported
+    hx = (x_e - d.apply(u, x_e)) / d.kappa   # = H x_e (odd-supported)
+    h2x = (hx - d.apply(u, hx)) / d.kappa    # = H H x_e (even-supported)
+    want = x_e - d.kappa**2 * jnp.where(even, h2x, 0.0)
+
+    ueo = d.packed_links(u)
+    got = eo_pack.unpack(d.apply_dhat(ueo, eo_pack.pack(x_e, LAT, 0)), LAT, 0)
+    assert float(jnp.max(jnp.abs(got - want))) < 1e-12
+
+
+def test_wilson_dhat_gamma5_hermiticity(u):
+    d = WilsonDirac(kappa=0.141139)
+    ueo = d.packed_links(u)
+    half = (LAT[0] // 2,) + LAT[1:]
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    a = jax.random.normal(k1, half + (4, 3, 2))
+    a = (a[..., 0] + 1j * a[..., 1]).astype(jnp.complex128)
+    b = jax.random.normal(k2, half + (4, 3, 2))
+    b = (b[..., 0] + 1j * b[..., 1]).astype(jnp.complex128)
+    lhs = jnp.vdot(a, d.apply_dhat(ueo, b))
+    rhs = jnp.vdot(d.apply_dhat_dagger(ueo, a), b)
+    assert abs(complex(lhs - rhs)) < 1e-10
+
+
+def test_wilson_det_equals_dhat_det():
+    """det D = det Dhat (Schur): the even-odd pseudofermion weight is
+    the full 2-flavor weight. Dense check on 2^4."""
+    from latticeqcd_tpu.ops.dirac import eo_pack
+    from latticeqcd_tpu.updates.slhmc import dense_logdet_fermi_action
+
+    lat = (2, 2, 2, 2)
+    raw = fields.hot_start(lat, 2, seed=7)
+    up = apply_boundary_phases(raw, (1, 1, 1, -1))
+    d = WilsonDirac(kappa=0.13)
+
+    sf_full = dense_logdet_fermi_action(d, lat + (4, 2), weight=1.0)
+
+    class _Dhat:
+        def apply(self, u, x):
+            return d.apply_dhat(d.packed_links(u), x)
+
+    half = (lat[0] // 2,) + lat[1:]
+    sf_eo = dense_logdet_fermi_action(_Dhat(), half + (4, 2), weight=1.0)
+    assert float(sf_full(up)) == pytest.approx(float(sf_eo(up)), rel=1e-10)
