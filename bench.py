@@ -123,19 +123,8 @@ def _pick_precision():
     return "float64", 1e-19, "complex128"
 
 
-def main():
-    precision, eps, cdtype = _pick_precision()
-    if "--warmup" in sys.argv:
-        _run(cdtype, eps, n_traj=1)
-        print("warmup ok")
-        return
-    import jax
-
-    if jax.default_backend() != "cpu":
-        _warmup_subprocess()
-    wall, plaq, n_acc = _run(cdtype, eps)
-
-    result = {
+def _result_json(precision, eps, wall, plaq, n_acc, device, attempt):
+    return {
         "metric": "wilson_hmc_20traj_4^4_beta6.0_kappa0.141139_wallclock",
         "value": round(wall, 4),
         "unit": "s",
@@ -144,9 +133,59 @@ def main():
         "eps_cg": eps,
         "final_plaquette": round(plaq, 8),
         "accepted": n_acc,
-        "device": str(jax.devices()[0]),
+        "device": device,
+        "attempt": attempt,
     }
-    print(json.dumps(result))
+
+
+def main():
+    precision, eps, cdtype = _pick_precision()
+    if "--warmup" in sys.argv:
+        _run(cdtype, eps, n_traj=1)
+        print("warmup ok")
+        return
+    import jax
+
+    if "--timed" in sys.argv or jax.default_backend() == "cpu":
+        wall, plaq, n_acc = _run(cdtype, eps)
+        print(json.dumps(_result_json(precision, eps, wall, plaq, n_acc,
+                                      str(jax.devices()[0]), 0)))
+        return
+
+    # The remote TPU backend intermittently fails programs with
+    # UNIMPLEMENTED for minutes at a stretch and a failure poisons the
+    # process; run warmup AND the timed section in fresh subprocesses,
+    # retrying until a clean attempt succeeds (the persistent compile
+    # cache carries progress across attempts).
+    _warmup_subprocess()
+    last_err = "unknown"
+    for attempt in range(1, 6):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--timed"],
+                timeout=1800,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                for line in r.stdout.decode().splitlines():
+                    if line.startswith("{"):
+                        out = json.loads(line)
+                        out["attempt"] = attempt
+                        print(json.dumps(out))
+                        return
+            last_err = r.stderr.decode()[-200:]
+            sys.stderr.write(f"# timed attempt {attempt} rc={r.returncode}: {last_err}\n")
+        except subprocess.TimeoutExpired:
+            last_err = "timeout"
+            sys.stderr.write(f"# timed attempt {attempt} timed out\n")
+        time.sleep(60)  # let a flaky-backend window pass
+    print(json.dumps({
+        "metric": "wilson_hmc_20traj_4^4_beta6.0_kappa0.141139_wallclock",
+        "value": None,
+        "unit": "s",
+        "vs_baseline": None,
+        "error": f"TPU backend failed 5 timed attempts: {last_err}",
+    }))
 
 
 if __name__ == "__main__":

@@ -59,6 +59,31 @@ def _solve_dinv(dirac, up, b, eps, maxiter):
         )
         x_o = (b_o - d._packed_dslash(u_o, u_e, x_e, target_parity=1)) / d.mass
         return d.unpack(x_e, 0) + d.unpack(x_o, 1)
+    if (
+        isinstance(dirac, WilsonDirac)
+        and dirac.csw == 0.0
+        and all(l % 2 == 0 for l in up.shape[1:5])
+    ):
+        # Wilson Schur: D x = b with D = [[1,-kH_eo],[-kH_oe,1]] gives
+        #   Dhat x_e = b_e + k H_eo b_o,   x_o = b_o + k H_oe x_e,
+        # solved by CG on Dhat^dag Dhat (gamma5-hermitian) at half
+        # volume and ~2.6x fewer iterations than full-volume CGNE.
+        d = dirac
+        lattice = tuple(up.shape[1:5])
+        from latticeqcd_tpu.ops.dirac import eo_pack
+
+        u_eo = d.packed_links(up)
+        u_e, u_o = u_eo
+        b_e = eo_pack.pack(b, lattice, 0)
+        b_o = eo_pack.pack(b, lattice, 1)
+        rhs_e = b_e + d.kappa * d.hop_packed(u_e, u_o, b_o, target_parity=0)
+        rhs_e = d.apply_dhat_dagger(u_eo, rhs_e)
+        x_e, _, _ = solvers.cg(
+            lambda v: d.apply_dhat_dagger(u_eo, d.apply_dhat(u_eo, v)),
+            rhs_e, eps=eps, maxiter=maxiter,
+        )
+        x_o = b_o + d.kappa * d.hop_packed(u_o, u_e, x_e, target_parity=1)
+        return eo_pack.unpack(x_e, lattice, 0) + eo_pack.unpack(x_o, lattice, 1)
     rhs = dirac.apply_dagger(up, b)
     x, it, rsq = solvers.cg(
         lambda v: dirac.apply_ddag_d(up, v), rhs, eps=eps, maxiter=maxiter

@@ -217,3 +217,17 @@ def test_wilson_det_equals_dhat_det():
     half = (lat[0] // 2,) + lat[1:]
     sf_eo = dense_logdet_fermi_action(_Dhat(), half + (4, 2), weight=1.0)
     assert float(sf_full(up)) == pytest.approx(float(sf_eo(up)), rel=1e-10)
+
+
+def test_wilson_schur_solve_dinv(u):
+    """measurements._solve_dinv Wilson Schur path: D x = b on the full
+    lattice to the CGNE tolerance."""
+    from latticeqcd_tpu.measurements.fermionic import _solve_dinv
+
+    d = WilsonDirac(kappa=0.141139)
+    key = jax.random.PRNGKey(21)
+    b = jax.random.normal(key, LAT + (4, 3, 2))
+    b = (b[..., 0] + 1j * b[..., 1]).astype(jnp.complex128)
+    x = _solve_dinv(d, u, b, 1e-24, 2000)
+    rel = float(jnp.linalg.norm(d.apply(u, x) - b) / jnp.linalg.norm(b))
+    assert rel < 1e-9
