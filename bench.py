@@ -152,14 +152,26 @@ def main():
                                       str(jax.devices()[0]), 0)))
         return
 
-    # The remote TPU backend intermittently fails programs with
-    # UNIMPLEMENTED for minutes at a stretch and a failure poisons the
-    # process; run warmup AND the timed section in fresh subprocesses,
-    # retrying until a clean attempt succeeds (the persistent compile
-    # cache carries progress across attempts).
-    _warmup_subprocess()
+    # The remote TPU backend flaps: for minutes at a stretch ANY
+    # complex-typed program fails with UNIMPLEMENTED, then it recovers;
+    # a failure also poisons the process. So: health-probe in a cheap
+    # subprocess, run warmup AND the timed section in fresh
+    # subprocesses, and keep cycling until a healthy window yields a
+    # clean timed run (the persistent compile cache carries progress).
+    warmed = False
     last_err = "unknown"
-    for attempt in range(1, 6):
+    deadline = time.time() + 45 * 60
+    attempt = 0
+    while time.time() < deadline:
+        if not _tpu_healthy():
+            sys.stderr.write("# TPU unhealthy, cooling down 90s\n")
+            time.sleep(90)
+            continue
+        if not warmed:
+            warmed = _warmup_subprocess(retries=2)
+            if not warmed:
+                continue
+        attempt += 1
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--timed"],
@@ -178,14 +190,31 @@ def main():
         except subprocess.TimeoutExpired:
             last_err = "timeout"
             sys.stderr.write(f"# timed attempt {attempt} timed out\n")
-        time.sleep(60)  # let a flaky-backend window pass
+        time.sleep(60)
     print(json.dumps({
         "metric": "wilson_hmc_20traj_4^4_beta6.0_kappa0.141139_wallclock",
         "value": None,
         "unit": "s",
         "vs_baseline": None,
-        "error": f"TPU backend failed 5 timed attempts: {last_err}",
+        "error": f"TPU backend failed all timed attempts in 45 min: {last_err}",
     }))
+
+
+def _tpu_healthy() -> bool:
+    """Cheap subprocess probe: a complex64 vdot-like reduction — the
+    op class the flaky backend windows break first."""
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.full((4,4,4,8,3), 1+1j, dtype=jnp.complex64);"
+        "v = jnp.real(jnp.vdot(x, x));"
+        "jax.block_until_ready(v); print('healthy')"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", probe], timeout=240,
+                           capture_output=True)
+        return r.returncode == 0 and b"healthy" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
 
 
 if __name__ == "__main__":
