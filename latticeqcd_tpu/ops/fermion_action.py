@@ -100,17 +100,17 @@ class WilsonFermiAction:
         phi = self.dirac.apply(up, xi)
         return jnp.real(inner(xi, xi)), phi
 
-    def _solve_normal(self, up, phi):
+    def _solve_normal(self, up, phi, x0=None):
         """x = (A A^dag)^-1 phi with A = Dhat (packed phi) or D."""
         if phi.ndim == 6 and 2 * phi.shape[0] == up.shape[1]:  # packed even
             ueo = self.dirac.packed_links(up)
             x, _, _ = solvers.cg(
-                lambda v: self.dirac.apply_dhat_ddag(ueo, v), phi,
+                lambda v: self.dirac.apply_dhat_ddag(ueo, v), phi, x0=x0,
                 eps=self.eps_cg, maxiter=self.max_cg,
             )
             return x
         x, _, _ = solvers.cg(
-            lambda v: self.dirac.apply_d_ddag(up, v), phi,
+            lambda v: self.dirac.apply_d_ddag(up, v), phi, x0=x0,
             eps=self.eps_cg, maxiter=self.max_cg,
         )
         return x
@@ -127,10 +127,23 @@ class WilsonFermiAction:
         stack is JAX autodiff, replacing the reference's hand-written
         back_prop (standardMD.jl:216-224). Solves run on the smeared
         links, the gradient is taken w.r.t. the bare links."""
+        return self._force_impl(u, phi, smear_fn, None)[0]
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def force_with_guess(self, u, phi, x0, smear_fn=None):
+        """Chronological inverter: warm-start the force CG from the
+        previous MD step's solution (thread the returned x back in).
+        With the solver converged to eps_cg the force is
+        guess-independent to that tolerance, so MD reversibility (and
+        HMC exactness) is preserved at the same level as the
+        reference's eps=1e-19 solves. Returns (force, x)."""
+        return self._force_impl(u, phi, smear_fn, x0)
+
+    def _force_impl(self, u, phi, smear_fn, x0):
         us = smear_fn(u) if smear_fn is not None else u
         up = self._phased(us)
         packed = phi.ndim == 6 and 2 * phi.shape[0] == up.shape[1]
-        x = jax.lax.stop_gradient(self._solve_normal(up, phi))
+        x = jax.lax.stop_gradient(self._solve_normal(up, phi, x0=x0))
 
         def c(uu):
             uus = smear_fn(uu) if smear_fn is not None else uu
@@ -141,7 +154,7 @@ class WilsonFermiAction:
             return jnp.real(inner(x, self.dirac.apply_d_ddag(uup, x)))
 
         g = jax.grad(c)(u)
-        return _project_force(u, g)
+        return _project_force(u, g), x
 
 
 # ---------------------------------------------------------------------------

@@ -111,13 +111,27 @@ class HMC:
         dtau = self.dtau
         if self.scheme != "QPQ":
             raise ValueError("staged path implements the QPQ schemes")
+        # chronological inverter: warm-start each force CG from the
+        # previous MD step's solution when the action supports it
+        force_g = getattr(fa, "force_with_guess", None) if not self.quench else None
+        x_guess = None
+
+        def fermion_kick(u, h):
+            nonlocal x_guess
+            if force_g is not None:
+                # x_guess None on the first call -> a second jit variant
+                f, x_guess = force_g(u, eta, x_guess, smear_fn=smear_fn)
+            else:
+                f = fa.force(u, eta, smear_fn=smear_fn)
+            return h + dtau * f
+
         for _ in range(self.md_steps):
             if self.sexton_weingarten and not self.quench:
                 for _ in range(self.nsw // 2):
                     u = self._u_update_jit(u, h, 0.5 * dtau / self.nsw)
                     h = self._gauge_kick_jit(u, h, dtau / self.nsw)
                     u = self._u_update_jit(u, h, 0.5 * dtau / self.nsw)
-                h = h + dtau * fa.force(u, eta, smear_fn=smear_fn)
+                h = fermion_kick(u, h)
                 for _ in range(self.nsw // 2):
                     u = self._u_update_jit(u, h, 0.5 * dtau / self.nsw)
                     h = self._gauge_kick_jit(u, h, dtau / self.nsw)
@@ -126,7 +140,7 @@ class HMC:
                 u = self._u_update_jit(u, h, 0.5 * dtau)
                 h = self._gauge_kick_jit(u, h, dtau)
                 if not self.quench:
-                    h = h + dtau * fa.force(u, eta, smear_fn=smear_fn)
+                    h = fermion_kick(u, h)
                 u = self._u_update_jit(u, h, 0.5 * dtau)
 
         sp_new, sg_new = self._energy_jit(u, h)
