@@ -212,7 +212,10 @@ class MeasurementSet:
                 raise ValueError(f"measurement method {name!r} is not supported")
             interval = int(method.get("measure_every", 1))
             fp = None
-            if measuredir is not None:
+            # multi-host: measurement values are replicated scalars, so
+            # only process 0 writes the text series (the reference's
+            # rank-0-gated measurement files)
+            if measuredir is not None and jax.process_index() == 0:
                 os.makedirs(measuredir, exist_ok=True)
                 fp = open(os.path.join(measuredir, f"{name}{suffix}.txt"), "w")
             ms.append(_REGISTRY[name](name=name, interval=interval, params=dict(method), fp=fp))

@@ -93,3 +93,73 @@ def shard_links(u, mesh: Mesh):
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (multi-process) support — the mpirun.jl analog
+# (/root/reference/src/mpirun.jl:14-25). One python process per host;
+# jax.distributed stitches all hosts' chips into one global device
+# list, the Mesh spans them, and the jitted trajectory step runs SPMD
+# with XLA collectives riding ICI within a host / DCN across hosts.
+# ---------------------------------------------------------------------------
+
+
+def initialize_multihost(coordinator: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Initialize the jax distributed runtime (idempotent).
+
+    On TPU pods all three arguments are auto-detected from the pod
+    environment; on CPU/GPU clusters pass coordinator="host:port",
+    num_processes and process_id explicitly (the MPI_COMM_WORLD
+    rank/size analog, mpi/mpimodule.jl:4-8)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    kwargs = {}
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = int(num_processes)
+    if process_id is not None:
+        kwargs["process_id"] = int(process_id)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError) as e:
+        # single-process run (no pod env, no explicit coordinator)
+        if kwargs:
+            raise
+        import sys
+
+        print(f"# jax.distributed not initialized ({e}); single process", file=sys.stderr)
+
+
+def get_myrank() -> int:
+    """Process index — the reference's get_myrank (mpimodule.jl:16-22)."""
+    return jax.process_index()
+
+
+def get_nprocs() -> int:
+    """Process count — the reference's get_nprocs (mpimodule.jl:24-29)."""
+    return jax.process_count()
+
+
+def is_rank0() -> bool:
+    return jax.process_index() == 0
+
+
+def println_rank0(*vals) -> None:
+    """Rank-0-gated print (mpi/simpleprint.jl:1-5)."""
+    if is_rank0():
+        print(*vals)
+
+
+def to_host_global(x):
+    """Materialize a (possibly cross-process sharded) array on every
+    host as one numpy array. Single-process / fully-addressable arrays
+    pass straight through to np.asarray; cross-host shardings are
+    gathered with a collective (every process must call this)."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

@@ -61,6 +61,14 @@ class Savedata:
     def save(self, u, itrj, key=None):
         if not self.issaved or itrj % self.every != 0:
             return
+        # multi-host: gather the global links on every process (a
+        # collective), then only process 0 touches the filesystem —
+        # the reference's rank-0-gated saveU (lqcd.jl:226-247)
+        from latticeqcd_tpu.parallel import to_host_global
+
+        u = to_host_global(u)
+        if jax.process_index() != 0:
+            return
         tag = f"{itrj:08d}"
         if self.fmt == "JLD" or self.fmt == "NPZ":
             save_u(os.path.join(self.dir, f"conf_{tag}.npz"), u)

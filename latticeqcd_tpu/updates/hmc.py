@@ -80,6 +80,31 @@ class HMC:
     def _gauge_kick_jit(self, u, h, eps):
         return h + eps * ga.force(self.action, u)
 
+    # Fused gauge-only segments: everything between two fermion kicks
+    # is pure gauge algebra (no solver while_loops), so it compiles
+    # fine as one program even on the remote TPU — and each program
+    # dispatch to a tunneled TPU costs real latency, which dominates
+    # small-lattice trajectories (BASELINE.md headline: 4^4).
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _uk_update_jit(self, u, h, eps_u):
+        """u <- exp(i eps_u h) u, then the gauge kick h += dtau F_g(u):
+        one program instead of two (QPQ adjacent half-steps merged by
+        the caller into eps_u = dtau)."""
+        u = integrators.update_links(u, h, eps_u)
+        return u, h + self.dtau * ga.force(self.action, u)
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _gauge_segment_jit(self, u, h, n_sub):
+        """Sexton-Weingarten gauge sub-segment: n_sub unrolled
+        iterations of [u(1/2), kick, u(1/2)] at dtau/nsw — one program
+        for the whole segment (standardMD.jl:144-167 inner loop)."""
+        eps = self.dtau / self.nsw
+        for _ in range(n_sub):
+            u = integrators.update_links(u, h, 0.5 * eps)
+            h = h + eps * ga.force(self.action, u)
+            u = integrators.update_links(u, h, 0.5 * eps)
+        return u, h
+
     @partial(jax.jit, static_argnums=0)
     def _draw_momentum_jit(self, u, key):
         return sun.random_hermitian_momentum(key, u.shape[:-2], self.action.nc, dtype=u.dtype)
@@ -125,23 +150,24 @@ class HMC:
                 f = fa.force(u, eta, smear_fn=smear_fn)
             return h + dtau * f
 
-        for _ in range(self.md_steps):
-            if self.sexton_weingarten and not self.quench:
-                for _ in range(self.nsw // 2):
-                    u = self._u_update_jit(u, h, 0.5 * dtau / self.nsw)
-                    h = self._gauge_kick_jit(u, h, dtau / self.nsw)
-                    u = self._u_update_jit(u, h, 0.5 * dtau / self.nsw)
+        if self.sexton_weingarten and not self.quench:
+            for _ in range(self.md_steps):
+                u, h = self._gauge_segment_jit(u, h, self.nsw // 2)
                 h = fermion_kick(u, h)
-                for _ in range(self.nsw // 2):
-                    u = self._u_update_jit(u, h, 0.5 * dtau / self.nsw)
-                    h = self._gauge_kick_jit(u, h, dtau / self.nsw)
-                    u = self._u_update_jit(u, h, 0.5 * dtau / self.nsw)
-            else:
-                u = self._u_update_jit(u, h, 0.5 * dtau)
-                h = self._gauge_kick_jit(u, h, dtau)
+                u, h = self._gauge_segment_jit(u, h, self.nsw // 2)
+        else:
+            # QPQ with adjacent half-steps merged across MD steps:
+            # [u(1/2);kick_g] CG  ([u(1);kick_g] CG)^(N-1)  u(1/2)
+            # — 2 programs per step instead of 4 (dispatch latency
+            # dominates at small volume on the remote TPU)
+            u, h = self._uk_update_jit(u, h, 0.5 * dtau)
+            if not self.quench:
+                h = fermion_kick(u, h)
+            for _ in range(self.md_steps - 1):
+                u, h = self._uk_update_jit(u, h, dtau)
                 if not self.quench:
                     h = fermion_kick(u, h)
-                u = self._u_update_jit(u, h, 0.5 * dtau)
+            u = self._u_update_jit(u, h, 0.5 * dtau)
 
         sp_new, sg_new = self._energy_jit(u, h)
         s_f_new = 0.0

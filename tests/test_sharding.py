@@ -81,3 +81,63 @@ def test_sharded_heatbath_matches_single(mesh):
     us = shard_links(u, mesh)
     u2, _ = hb.sweep(us, key)
     assert float(jnp.max(jnp.abs(u1 - jnp.asarray(u2)))) < 1e-10
+
+
+# ---------------------------------------------------------------------------
+# Multi-host glue (single-process semantics; the cross-host collective
+# path is exercised on real pods via latticeqcd_tpu.multirun)
+# ---------------------------------------------------------------------------
+
+
+def test_multihost_helpers_single_process(mesh):
+    from latticeqcd_tpu.parallel import (
+        get_myrank,
+        get_nprocs,
+        initialize_multihost,
+        is_rank0,
+        to_host_global,
+    )
+
+    # no coordinator + no pod env -> stays single-process, no raise
+    initialize_multihost()
+    assert get_nprocs() == 1
+    assert get_myrank() == 0
+    assert is_rank0()
+
+    u = fields.hot_start(LAT, 2, seed=63)
+    us = shard_links(u, mesh)
+    # fully-addressable sharded array round-trips through the gather
+    np.testing.assert_array_equal(to_host_global(us), np.asarray(u))
+
+
+def test_multirun_cli_parses_and_runs(tmp_path):
+    """multirun end-to-end on the virtual mesh (mpirun.jl analog)."""
+    import sys
+
+    from latticeqcd_tpu import multirun
+
+    toml = tmp_path / "quick.toml"
+    toml.write_text(
+        """
+[Physical_setting]
+L = [4, 4, 4, 4]
+NC = 2
+beta = 1.9
+update_method = "HMC"
+quench = true
+Nsteps = 2
+Nthermalization = 0
+randomseed = 111
+initial = "hot"
+
+[System_Control]
+verboselevel = 1
+logfile = ""
+
+[HMC_related]
+MDsteps = 4
+Dtau = 0.25
+"""
+    )
+    rc = multirun.main([str(toml), "1", "1", "2", "4"])
+    assert rc == 0
