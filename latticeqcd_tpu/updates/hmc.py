@@ -106,21 +106,29 @@ class HMC:
         return u, h
 
     @partial(jax.jit, static_argnums=0)
-    def _draw_momentum_jit(self, u, key):
-        return sun.random_hermitian_momentum(key, u.shape[:-2], self.action.nc, dtype=u.dtype)
+    def _begin_jit(self, u, key):
+        """Momentum refresh + H_old gauge/kinetic terms: one program."""
+        h = sun.random_hermitian_momentum(key, u.shape[:-2], self.action.nc, dtype=u.dtype)
+        return h, sun.kinetic_energy(h), ga.action_value(self.action, u)
 
     @partial(jax.jit, static_argnums=0)
-    def _energy_jit(self, u, h):
-        return sun.kinetic_energy(h), ga.action_value(self.action, u)
-
-    @partial(jax.jit, static_argnums=0)
-    def _plaq_jit(self, u):
-        return ga.mean_plaquette(u)
+    def _finish_jit(self, u0, u, h, s_old, s_f_new, k_acc):
+        """H_new gauge/kinetic terms + on-device Metropolis select +
+        plaquette of the outgoing links: one program (the accept
+        decision never round-trips to the host mid-trajectory)."""
+        sp_new = sun.kinetic_energy(h)
+        sg_new = ga.action_value(self.action, u)
+        s_new = sp_new + sg_new + s_f_new
+        d_h = s_new - s_old
+        rdtype = jnp.float64 if u.dtype == jnp.complex128 else jnp.float32
+        accept = jnp.exp(-d_h) >= jax.random.uniform(k_acc, dtype=rdtype)
+        u_out = jnp.where(accept, u, u0)
+        return u_out, accept, d_h, sp_new, sg_new, ga.mean_plaquette(u_out)
 
     def _step_staged(self, u, key):
         u0 = u  # restored on reject (standardHMC.jl:45,85)
         key, k_mom, k_ferm, k_acc = jax.random.split(key, 4)
-        h = self._draw_momentum_jit(u, k_mom)
+        h, sp_old, sg_old = self._begin_jit(u, k_mom)
 
         fa = self.fermi_action
         smear_fn = self.smearing.smear if self.smearing is not None else None
@@ -130,7 +138,6 @@ class HMC:
             us = self._smear(u)
             s_f_old, eta = fa.sample_pseudofermion(us, k_ferm)
 
-        sp_old, sg_old = self._energy_jit(u, h)
         s_old = sp_old + sg_old + s_f_old
 
         dtau = self.dtau
@@ -169,18 +176,16 @@ class HMC:
                     h = fermion_kick(u, h)
             u = self._u_update_jit(u, h, 0.5 * dtau)
 
-        sp_new, sg_new = self._energy_jit(u, h)
         s_f_new = 0.0
         if not self.quench:
             s_f_new = jnp.real(fa.action(self._smear(u), eta))
-        s_new = sp_new + sg_new + s_f_new
 
-        d_h = s_new - s_old
         rdtype = jnp.float64 if u.dtype == jnp.complex128 else jnp.float32
-        accept = bool(jnp.exp(-d_h) >= jax.random.uniform(k_acc, dtype=rdtype))
-        u_out = u if accept else u0
+        u_out, accept, d_h, sp_new, sg_new, plaq = self._finish_jit(
+            u0, u, h, jnp.asarray(s_old, rdtype), jnp.asarray(s_f_new, rdtype), k_acc
+        )
         stats = {
-            "accepted": accept,
+            "accepted": bool(accept),
             "dH": d_h,
             "sg_old": sg_old,
             "sg_new": sg_new,
@@ -188,7 +193,7 @@ class HMC:
             "sp_new": sp_new,
             "sf_old": s_f_old,
             "sf_new": s_f_new,
-            "plaq": self._plaq_jit(u_out),
+            "plaq": plaq,
         }
         return u_out, key, stats
 
