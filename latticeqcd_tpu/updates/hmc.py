@@ -85,13 +85,14 @@ class HMC:
     # fine as one program even on the remote TPU — and each program
     # dispatch to a tunneled TPU costs real latency, which dominates
     # small-lattice trajectories (BASELINE.md headline: 4^4).
-    @partial(jax.jit, static_argnums=(0, 3))
-    def _uk_update_jit(self, u, h, eps_u):
-        """u <- exp(i eps_u h) u, then the gauge kick h += dtau F_g(u):
-        one program instead of two (QPQ adjacent half-steps merged by
-        the caller into eps_u = dtau)."""
+    @partial(jax.jit, static_argnums=(0, 3, 4))
+    def _uk_update_jit(self, u, h, eps_u, eps_h):
+        """u <- exp(i eps_u h) u, then the gauge kick h += eps_h F_g(u):
+        one program instead of two (adjacent half-steps merged by the
+        caller — QPQ merges U half-steps into eps_u = dtau, PQP merges
+        P half-kicks into eps_h = dtau)."""
         u = integrators.update_links(u, h, eps_u)
-        return u, h + self.dtau * ga.force(self.action, u)
+        return u, h + eps_h * ga.force(self.action, u)
 
     @partial(jax.jit, static_argnums=(0, 3))
     def _gauge_segment_jit(self, u, h, n_sub):
@@ -141,40 +142,55 @@ class HMC:
         s_old = sp_old + sg_old + s_f_old
 
         dtau = self.dtau
-        if self.scheme != "QPQ":
-            raise ValueError("staged path implements the QPQ schemes")
+        if self.scheme not in ("QPQ", "PQP"):
+            raise ValueError(f"unknown MD scheme {self.scheme!r}")
+        if self.scheme == "PQP" and self.sexton_weingarten and not self.quench:
+            # mirror integrators.run_md / the reference factory
+            raise ValueError("PQP update with SextonWeingarten is not supported")
         # chronological inverter: warm-start each force CG from the
         # previous MD step's solution when the action supports it
         force_g = getattr(fa, "force_with_guess", None) if not self.quench else None
         x_guess = None
 
-        def fermion_kick(u, h):
+        def fermion_kick(u, h, eps):
             nonlocal x_guess
             if force_g is not None:
                 # x_guess None on the first call -> a second jit variant
                 f, x_guess = force_g(u, eta, x_guess, smear_fn=smear_fn)
             else:
                 f = fa.force(u, eta, smear_fn=smear_fn)
-            return h + dtau * f
+            return h + eps * f
 
         if self.sexton_weingarten and not self.quench:
             for _ in range(self.md_steps):
                 u, h = self._gauge_segment_jit(u, h, self.nsw // 2)
-                h = fermion_kick(u, h)
+                h = fermion_kick(u, h, dtau)
                 u, h = self._gauge_segment_jit(u, h, self.nsw // 2)
-        else:
+        elif self.scheme == "QPQ":
             # QPQ with adjacent half-steps merged across MD steps:
             # [u(1/2);kick_g] CG  ([u(1);kick_g] CG)^(N-1)  u(1/2)
             # — 2 programs per step instead of 4 (dispatch latency
             # dominates at small volume on the remote TPU)
-            u, h = self._uk_update_jit(u, h, 0.5 * dtau)
+            u, h = self._uk_update_jit(u, h, 0.5 * dtau, dtau)
             if not self.quench:
-                h = fermion_kick(u, h)
+                h = fermion_kick(u, h, dtau)
             for _ in range(self.md_steps - 1):
-                u, h = self._uk_update_jit(u, h, dtau)
+                u, h = self._uk_update_jit(u, h, dtau, dtau)
                 if not self.quench:
-                    h = fermion_kick(u, h)
+                    h = fermion_kick(u, h, dtau)
             u = self._u_update_jit(u, h, 0.5 * dtau)
+        else:
+            # PQP with adjacent half-kicks merged across MD steps:
+            # kick(1/2) ([u(1);kick(1)] CG)^(N-1) [u(1);kick(1/2)] CG
+            # (runMD_PQP!, standardMD.jl:170-190)
+            h = self._gauge_kick_jit(u, h, 0.5 * dtau)
+            if not self.quench:
+                h = fermion_kick(u, h, 0.5 * dtau)
+            for i in range(self.md_steps):
+                eps_h = dtau if i < self.md_steps - 1 else 0.5 * dtau
+                u, h = self._uk_update_jit(u, h, dtau, eps_h)
+                if not self.quench:
+                    h = fermion_kick(u, h, eps_h)
 
         s_f_new = 0.0
         if not self.quench:

@@ -1,5 +1,12 @@
 """North-star metrics on the real chip: Dirac mat-vec GFLOP/s and HMC
 trajectories/hour at 16^3x32 (BASELINE.md). Run standalone on TPU.
+
+Measurement rule for the tunneled axon backend: jax.block_until_ready
+returns BEFORE execution finishes there (measured 2026-08-20: 5 quenched
+16^3x32 trajectories "completed" in 0.5 ms), so every timed region here
+ends in a host-side scalar fetch (float(...)), which can only return
+after the dependency chain actually executed. Loop timings use a
+two-point (n0, n1) subtraction to cancel the fetch/transfer overhead.
 """
 
 import sys
@@ -28,21 +35,61 @@ LAT = (16, 16, 16, 32)
 V = 16**3 * 32
 
 
+def _chain_time(f, red, x0, n):
+    """Wall time of n chained applications ending in a scalar fetch."""
+    t0 = time.time()
+    o = x0
+    for _ in range(n):
+        o = f(o)
+    _ = float(red(o))
+    return time.time() - t0
+
+
+def _per_iter(f, red, x0, n0=5, n1=55):
+    _chain_time(f, red, x0, 2)  # warm
+    return (_chain_time(f, red, x0, n1) - _chain_time(f, red, x0, n0)) / (n1 - n0)
+
+
 def bench_matvec():
     u = apply_boundary_phases(fields.hot_start(LAT, 3, seed=0, dtype=jnp.complex64))
     psi = gaussian_spinor(jax.random.PRNGKey(1), LAT, 3, nspin=4, dtype=jnp.complex64)
     d = WilsonDirac(kappa=0.141139)
-    f = jax.jit(lambda uu, pp: d.apply(uu, pp))
-    out = f(u, psi)
-    jax.block_until_ready(out)
-    n = 50
+    f = jax.jit(lambda pp: d.apply(u, pp))
+    red = jax.jit(lambda pp: jnp.real(jnp.vdot(pp, pp)))
+    dt = _per_iter(f, red, psi)
+    print(f"wilson_dslash_us {dt*1e6:.1f}", flush=True)
+    print(f"wilson_dslash_gflops {1320*V/dt/1e9:.0f}", flush=True)
+
+
+def bench_staggered_matvec():
+    u = apply_boundary_phases(fields.hot_start(LAT, 3, seed=0, dtype=jnp.complex64))
+    d = StaggeredDirac(mass=0.5, lattice=LAT)
+    psi = gaussian_spinor(jax.random.PRNGKey(1), LAT, 3, nspin=1, dtype=jnp.complex64)
+    f = jax.jit(lambda pp: d.apply(u, pp))
+    red = jax.jit(lambda pp: jnp.real(jnp.vdot(pp, pp)))
+    dt = _per_iter(f, red, psi)
+    print(f"staggered_dslash_us {dt*1e6:.1f}", flush=True)
+    # 570 flop/site: 4 dirs x (fwd+bwd) x (mat-vec 66 + add 6) + mass axpy
+    print(f"staggered_dslash_gflops {570*V/dt/1e9:.0f}", flush=True)
+    # packed even-odd W apply (the solver hot path)
+    ueo = d.packed_links(u)
+    ve = d.pack(jnp.where(d.even_mask[..., None], psi, 0.0), 0)
+    fw = jax.jit(lambda pp: d.apply_w_packed(ueo, pp))
+    dt = _per_iter(fw, red, ve)
+    print(f"staggered_w_packed_us {dt*1e6:.1f}", flush=True)
+
+
+def _traj_time(hmc, u, n):
+    """n trajectories; the per-trajectory bool()/float() fetches in the
+    staged stats dict (or the scalar fetch below on the fused path)
+    enforce real execution."""
+    key = jax.random.PRNGKey(0)
     t0 = time.time()
+    plaq = 0.0
     for _ in range(n):
-        out = f(u, out)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / n
-    print(f"wilson_dslash_us {dt*1e6:.0f}")
-    print(f"wilson_dslash_gflops {1320*V/dt/1e9:.0f}")
+        u, key, st = hmc.step(u, key)
+        plaq = float(st["plaq"])  # scalar fetch: sync every trajectory
+    return time.time() - t0, plaq
 
 
 def bench_quenched_traj():
@@ -50,15 +97,11 @@ def bench_quenched_traj():
     hmc = HMC(action=ga.wilson_gauge_action(3, 6.0), dtau=0.05, md_steps=20)
     key = jax.random.PRNGKey(0)
     u, key, st = hmc.step(u, key)
-    jax.block_until_ready(u)
-    t0 = time.time()
-    n = 5
-    for _ in range(n):
-        u, key, st = hmc.step(u, key)
-    jax.block_until_ready(u)
-    dt = (time.time() - t0) / n
-    print(f"quenched_hmc_traj_s {dt:.2f}")
-    print(f"quenched_hmc_traj_per_hour {3600/dt:.0f}")
+    _ = float(st["plaq"])  # compile + sync
+    dt, _ = _traj_time(hmc, u, 5)
+    dt /= 5
+    print(f"quenched_hmc_traj_s {dt:.3f}", flush=True)
+    print(f"quenched_hmc_traj_per_hour {3600/dt:.0f}", flush=True)
 
 
 def bench_staggered_traj():
@@ -69,21 +112,19 @@ def bench_staggered_traj():
     hmc = HMC(action=ga.wilson_gauge_action(3, 5.7), dtau=0.05, md_steps=20, fermi_action=fa)
     key = jax.random.PRNGKey(0)
     u, key, st = hmc.step(u, key)
-    jax.block_until_ready(u)
-    t0 = time.time()
-    n = 3
-    for _ in range(n):
-        u, key, st = hmc.step(u, key)
-    jax.block_until_ready(u)
-    dt = (time.time() - t0) / n
-    print(f"staggered_nf4_hmc_traj_s {dt:.2f}")
-    print(f"staggered_nf4_hmc_traj_per_hour {3600/dt:.0f}")
+    _ = float(st["plaq"])
+    dt, _ = _traj_time(hmc, u, 3)
+    dt /= 3
+    print(f"staggered_nf4_hmc_traj_s {dt:.3f}", flush=True)
+    print(f"staggered_nf4_hmc_traj_per_hour {3600/dt:.0f}", flush=True)
 
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "matvec"):
         bench_matvec()
+    if which in ("all", "staggered_matvec", "matvec2"):
+        bench_staggered_matvec()
     if which in ("all", "quenched"):
         bench_quenched_traj()
     if which in ("all", "staggered"):

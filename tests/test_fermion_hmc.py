@@ -150,3 +150,39 @@ def test_staggered_rhmc_golden(reference_dir, nf, confdir, golden):
     plaq = float(ga.mean_plaquette(u))
     assert abs(plaq - golden) / golden < 0.1, plaq
     assert n_acc >= 5
+
+
+def test_rhmc_spectral_bound_check():
+    """Power-iteration lambda_max(W) vs dense eigenvalues, and the
+    adaptive window widening (VERDICT r1 weak #6)."""
+    u = _u()
+    fa = StaggeredFermiAction(StaggeredDirac(mass=0.5, lattice=LAT), nf=2)
+    lam = float(fa.lambda_max_w(u, 60))
+
+    # dense W on even sites (dim = V/2 * NC = 384 at 4^4): exact lambda_max
+    from latticeqcd_tpu.ops.dirac.wilson import apply_boundary_phases
+
+    up = apply_boundary_phases(u, fa.dirac.bc)
+    ueo = fa.dirac.packed_links(up)
+    half = (LAT[0] // 2,) + LAT[1:] + (3,)
+    dim = int(np.prod(half))
+    eye = jnp.eye(dim, dtype=u.dtype).reshape((dim,) + half)
+    cols = jax.vmap(lambda v: fa.dirac.apply_w_packed(ueo, v))(eye)
+    wmat = np.asarray(cols.reshape(dim, dim)).T
+    lam_exact = float(np.linalg.eigvalsh(0.5 * (wmat + wmat.conj().T)).max())
+    assert abs(lam - lam_exact) < 0.02 * lam_exact, (lam, lam_exact)
+
+    lo, hi = fa._bounds()
+    assert lo <= lam_exact <= hi  # free-field bound holds on a hot config
+
+    # window already valid -> unchanged object
+    fa2, _ = fa.ensure_spectral_bounds(u)
+    assert fa2 is fa
+
+    # force a violation -> widened copy whose window covers lambda*safety
+    fa3, lam3 = fa.ensure_spectral_bounds(u, safety=100.0)
+    assert fa3 is not fa
+    assert fa3._bounds()[1] >= 100.0 * lam3 * 0.999
+    # the widened action still evaluates (rational rebuilt on new window)
+    _, phi = fa3.sample_pseudofermion(u, jax.random.PRNGKey(0))
+    assert np.isfinite(float(fa3.action(u, phi)))

@@ -136,7 +136,7 @@ logfile = ""
 
 [HMC_related]
 MDsteps = 4
-Dtau = 0.25
+dtau = 0.25
 """
     )
     rc = multirun.main([str(toml), "1", "1", "2", "4"])
