@@ -45,28 +45,68 @@ def _is_lime(raw: bytes) -> bool:
     return len(raw) >= 4 and struct.unpack_from(">I", raw, 0)[0] == LIME_MAGIC
 
 
-def load_ildg(filename, lattice, nc: int, dtype=jnp.complex128) -> jnp.ndarray:
-    """Load one gauge field U[mu, x, y, z, t, a, b] from an ILDG file."""
-    with open(filename, "rb") as fp:
-        raw = fp.read()
-    nx, ny, nz, nt = lattice
-    nbytes_f64 = nt * nz * ny * nx * DIRS * nc * nc * 2 * 8
-    payload = None
+def _scan_configs(raw: bytes):
+    """List (precision, payload) for every ildg-binary-data record.
+
+    One LIME file may hold several configurations, each its own message
+    with an ildg-format record followed by ildg-binary-data — the
+    reference indexes them via `load_gaugefield!(U, i, ildg, L, NC)`
+    (/root/reference/src/system/universe.jl:63-65).
+    """
+    configs = []
     precision = 64
-    if _is_lime(raw):
-        for rectype, data in _lime_records(raw):
-            if rectype == "ildg-format":
-                txt = data.decode("ascii", "replace")
-                if "<precision>32</precision>" in txt:
-                    precision = 32
-            if rectype == "ildg-binary-data":
-                payload = data
-        if payload is None:
-            raise ValueError(f"{filename}: no ildg-binary-data record found")
-    else:
-        payload = raw
-        if len(raw) == nbytes_f64 // 2:
-            precision = 32
+    for rectype, data in _lime_records(raw):
+        if rectype == "ildg-format":
+            txt = data.decode("ascii", "replace")
+            precision = 32 if "<precision>32</precision>" in txt else 64
+        if rectype == "ildg-binary-data":
+            configs.append((precision, data))
+            precision = 64
+    return configs
+
+
+class ILDG:
+    """Indexable view of a (possibly multi-config) ILDG/LIME file.
+
+    Counterpart of Gaugefields.jl's `ILDG(filename)` handle
+    (/root/reference/src/system/universe.jl:63): `len(ildg)` configs,
+    `ildg.load(i, lattice, nc)` with 1-based `i` like the reference.
+    """
+
+    def __init__(self, filename):
+        self.filename = filename
+        with open(filename, "rb") as fp:
+            raw = fp.read()
+        if _is_lime(raw):
+            self._configs = _scan_configs(raw)
+            if not self._configs:
+                raise ValueError(f"{filename}: no ildg-binary-data record found")
+        else:
+            self._configs = [(None, raw)]  # headerless blob; precision by size
+
+    def __len__(self) -> int:
+        return len(self._configs)
+
+    def load(self, i: int, lattice, nc: int, dtype=jnp.complex128) -> jnp.ndarray:
+        """Load config `i` (1-based, reference convention)."""
+        if not 1 <= i <= len(self._configs):
+            raise IndexError(
+                f"{self.filename}: config index {i} out of range 1..{len(self._configs)}"
+            )
+        precision, payload = self._configs[i - 1]
+        return _decode_payload(payload, precision, lattice, nc, dtype, self.filename)
+
+
+def load_ildg(filename, lattice, nc: int, dtype=jnp.complex128, index: int = 1) -> jnp.ndarray:
+    """Load gauge field `index` (1-based) U[mu, x, y, z, t, a, b] from an ILDG file."""
+    return ILDG(filename).load(index, lattice, nc, dtype=dtype)
+
+
+def _decode_payload(payload, precision, lattice, nc, dtype, filename):
+    nx, ny, nz, nt = lattice
+    if precision is None:  # headerless blob: infer from byte count
+        nbytes_f64 = nt * nz * ny * nx * DIRS * nc * nc * 2 * 8
+        precision = 32 if len(payload) == nbytes_f64 // 2 else 64
     fdtype = ">f8" if precision == 64 else ">f4"
     data = np.frombuffer(payload, dtype=fdtype).astype(np.float64)
     expected = nt * nz * ny * nx * DIRS * nc * nc * 2
@@ -88,8 +128,12 @@ def _lime_record(rectype: bytes, payload: bytes, first=False, last=False) -> byt
     return header + payload + b"\x00" * pad
 
 
-def save_ildg(filename, u) -> None:
-    """Save U[mu, x, y, z, t, a, b] as a LIME/ILDG file (f64 big-endian)."""
+def save_ildg(filename, u, append: bool = False) -> None:
+    """Save U[mu, x, y, z, t, a, b] as a LIME/ILDG file (f64 big-endian).
+
+    With ``append=True`` the config is added as a further LIME message,
+    producing a multi-config file readable via `ILDG(...).load(i, ...)`.
+    """
     un = np.asarray(u)
     nc = un.shape[-1]
     nx, ny, nz, nt = un.shape[1:5]
@@ -108,7 +152,8 @@ def save_ildg(filename, u) -> None:
     ).format(nc=nc, nx=nx, ny=ny, nz=nz, nt=nt).encode("ascii")
     blob = _lime_record(b"ildg-format", xml, first=True)
     blob += _lime_record(b"ildg-binary-data", out.tobytes(), last=True)
-    with open(filename, "wb") as fp:
+    mode = "ab" if (append and os.path.exists(filename)) else "wb"
+    with open(filename, mode) as fp:
         fp.write(blob)
 
 

@@ -70,7 +70,11 @@ class Savedata:
         if jax.process_index() != 0:
             return
         tag = f"{itrj:08d}"
-        if self.fmt == "JLD" or self.fmt == "NPZ":
+        if self.fmt == "JLD":
+            from latticeqcd_tpu.io.jld2 import save_jld2
+
+            save_jld2(os.path.join(self.dir, f"conf_{tag}.jld2"), u)
+        elif self.fmt == "NPZ":
             save_u(os.path.join(self.dir, f"conf_{tag}.npz"), u)
         elif self.fmt == "ILDG":
             save_ildg(os.path.join(self.dir, f"conf_{tag}.ildg"), u)

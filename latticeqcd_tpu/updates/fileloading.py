@@ -15,7 +15,9 @@ from typing import List, Optional
 
 import jax.numpy as jnp
 
-from latticeqcd_tpu.io import load_bridge_text, load_ildg, load_u
+from latticeqcd_tpu.io import load_bridge_text, load_u
+from latticeqcd_tpu.io.ildg import ILDG
+from latticeqcd_tpu.io.jld2 import load_jld2
 
 _EXT = {"JLD": (".jld2", ".npz"), "NPZ": (".npz",), "ILDG": (".ildg",), "BridgeText": (".txt",)}
 
@@ -46,6 +48,13 @@ class GivenConfigurations:
             )
         if not files:
             raise FileNotFoundError(f"no {fmt} configurations in {p.loadU_dir!r}")
+        if fmt == "ILDG":
+            # expand multi-config LIME files into one entry per record
+            expanded = []
+            for f in files:
+                n = len(ILDG(f))
+                expanded.extend([(f, i + 1) for i in range(n)] if n > 1 else [f])
+            files = expanded
         return cls(fmt, p.loadU_dir, tuple(lattice), nc, filelist=files)
 
     @property
@@ -54,9 +63,15 @@ class GivenConfigurations:
 
     def _load(self, filename, dtype):
         if self.loadU_format in ("JLD", "NPZ"):
+            if str(filename).endswith((".jld2", ".jld")):
+                return load_jld2(filename, self.lattice, self.nc, dtype=dtype)
             return load_u(filename, dtype=dtype)
         if self.loadU_format == "ILDG":
-            return load_ildg(filename, self.lattice, self.nc, dtype=dtype)
+            # each entry may be (file, index) for multi-config LIME files
+            if isinstance(filename, tuple):
+                fn, idx = filename
+                return ILDG(fn).load(idx, self.lattice, self.nc, dtype=dtype)
+            return ILDG(filename).load(1, self.lattice, self.nc, dtype=dtype)
         return load_bridge_text(filename, self.lattice, self.nc, dtype=dtype)
 
     def update(self, u, key):

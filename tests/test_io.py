@@ -78,3 +78,153 @@ def test_bridge_vs_ildg_same_field(tmp_path):
     a = load_bridge_text(f1, (4, 4, 4, 4), 3)
     b = load_ildg(f2, (4, 4, 4, 4), 3)
     assert float(jnp.max(jnp.abs(a - b))) < 1e-15
+
+
+# ------------------------------------------------------------- JLD2
+
+
+def test_jld2_roundtrip(tmp_path):
+    from latticeqcd_tpu.io import load_jld2, save_jld2
+
+    u = fields.hot_start((4, 2, 2, 4), 3, seed=5)
+    fn = tmp_path / "conf.jld2"
+    save_jld2(fn, u)
+    v = load_jld2(fn, (4, 2, 2, 4), 3)
+    assert float(jnp.max(jnp.abs(u - v))) == 0.0
+
+
+def test_jld2_reads_julia_struct_layout(tmp_path, reference_dir):
+    """Fixture mimicking Gaugefields.jl saveU through h5py's eyes:
+    a Vector{Gaugefields_4D_wing} = dataset of object references to
+    compound structs whose 'U' member references the Nwing=1 ghost-cell
+    ComplexF64 array in Julia column-major order (h5py sees reversed
+    axes, color matrix transposed)."""
+    import h5py
+
+    from latticeqcd_tpu.io import load_jld2
+
+    conf = os.path.join(
+        reference_dir,
+        "test/confs_HMC_L04040404_beta5.7_quenched_su3/conf_00000100.ildg.txt",
+    )
+    u = np.asarray(load_bridge_text(conf, (4, 4, 4, 4), 3))
+    w = 1  # wing width
+    cdt = np.dtype([("re", "<f8"), ("im", "<f8")])
+    fn = tmp_path / "ref_style.jld2"
+    with h5py.File(fn, "w") as fp:
+        refs = []
+        for mu in range(4):
+            # our (x,y,z,t,a,b) -> julia (a,b,x,y,z,t) -> h5py reversed
+            jarr = np.transpose(u[mu], (3, 2, 1, 0, 5, 4))
+            # periodic ghost cells on the 4 lattice axes
+            for ax in range(4):
+                jarr = np.concatenate(
+                    [np.take(jarr, [-w], axis=ax), jarr, np.take(jarr, [0], axis=ax)],
+                    axis=ax,
+                )
+            buf = np.empty(jarr.shape, dtype=cdt)
+            buf["re"] = jarr["re"] if jarr.dtype.names else jarr.real
+            buf["im"] = jarr.imag
+            arr_ds = fp.create_dataset(f"_anon_links_{mu}", data=buf)
+            sdt = np.dtype(
+                [("U", h5py.ref_dtype), ("NX", "<i8"), ("NC", "<i8")]
+            )
+            sval = np.zeros((), dtype=sdt)
+            sval["U"] = arr_ds.ref
+            sval["NX"] = 4
+            sval["NC"] = 3
+            struct_ds = fp.create_dataset(f"_anon_struct_{mu}", data=sval)
+            refs.append(struct_ds.ref)
+        fp.create_dataset(
+            "U", data=np.array(refs, dtype=h5py.ref_dtype)
+        )
+    v = np.asarray(load_jld2(fn, (4, 4, 4, 4), 3))
+    assert np.max(np.abs(u - v)) == 0.0
+
+
+def test_jld2_clean_error_on_mismatch(tmp_path):
+    from latticeqcd_tpu.io import load_jld2, save_jld2
+
+    u = fields.hot_start((4, 2, 2, 4), 3, seed=6)
+    fn = tmp_path / "conf.jld2"
+    save_jld2(fn, u)
+    with pytest.raises(ValueError, match="could not find 4"):
+        load_jld2(fn, (8, 8, 8, 8), 3)
+
+
+def test_driver_jld_save_then_load(tmp_path):
+    """saveU_format='JLD' writes .jld2 the JLD loader reads back."""
+    from latticeqcd_tpu.io import load_jld2
+    from latticeqcd_tpu.io.jld2 import save_jld2
+
+    u = fields.hot_start((4, 4, 2, 2), 2, seed=7)
+    fn = tmp_path / "conf_00000001.jld2"
+    save_jld2(fn, u)
+    v = load_jld2(fn, (4, 4, 2, 2), 2)
+    assert float(jnp.max(jnp.abs(u - v))) == 0.0
+
+
+# ------------------------------------------------ multi-config ILDG
+
+
+def test_ildg_multiconfig_index(tmp_path):
+    from latticeqcd_tpu.io import ILDG
+
+    us = [fields.hot_start((2, 2, 2, 4), 3, seed=s) for s in (10, 11, 12)]
+    fn = tmp_path / "chain.ildg"
+    for u in us:
+        save_ildg(fn, u, append=True)
+    ildg = ILDG(fn)
+    assert len(ildg) == 3
+    for i, u in enumerate(us, start=1):
+        v = ildg.load(i, (2, 2, 2, 4), 3)
+        assert float(jnp.max(jnp.abs(u - v))) == 0.0
+    with pytest.raises(IndexError):
+        ildg.load(4, (2, 2, 2, 4), 3)
+    with pytest.raises(IndexError):
+        ildg.load(0, (2, 2, 2, 4), 3)
+
+
+def test_fileloading_expands_multiconfig_ildg(tmp_path):
+    from latticeqcd_tpu.updates.fileloading import GivenConfigurations
+
+    us = [fields.hot_start((2, 2, 2, 4), 2, seed=s) for s in (20, 21)]
+    fn = tmp_path / "chain.ildg"
+    for u in us:
+        save_ildg(fn, u, append=True)
+    save_ildg(tmp_path / "single.ildg", fields.hot_start((2, 2, 2, 4), 2, seed=22))
+
+    class P:
+        loadU_format = "ILDG"
+        loadU_dir = str(tmp_path)
+        loadU_fromfile = False
+        loadU_filename = ""
+
+    gc = GivenConfigurations.from_params(P(), (2, 2, 2, 4), 2)
+    assert gc.nsteps == 3
+    u0 = jnp.zeros((4, 2, 2, 2, 4, 2, 2), dtype=jnp.complex128)
+    got, _, acc = gc.update(u0, None)
+    assert acc and float(jnp.max(jnp.abs(got - us[0]))) == 0.0
+    got2, _, _ = gc.update(u0, None)
+    assert float(jnp.max(jnp.abs(got2 - us[1]))) == 0.0
+
+
+def test_fileloading_jld2_dir(tmp_path):
+    from latticeqcd_tpu.io import save_jld2
+    from latticeqcd_tpu.updates.fileloading import GivenConfigurations
+
+    us = [fields.hot_start((2, 2, 2, 4), 2, seed=s) for s in (30, 31)]
+    for i, u in enumerate(us):
+        save_jld2(tmp_path / f"conf_{i:08d}.jld2", u)
+
+    class P:
+        loadU_format = "JLD"
+        loadU_dir = str(tmp_path)
+        loadU_fromfile = False
+        loadU_filename = ""
+
+    gc = GivenConfigurations.from_params(P(), (2, 2, 2, 4), 2)
+    assert gc.nsteps == 2
+    u0 = jnp.zeros((4, 2, 2, 2, 4, 2, 2), dtype=jnp.complex128)
+    got, _, _ = gc.update(u0, None)
+    assert float(jnp.max(jnp.abs(got - us[0]))) == 0.0
