@@ -113,8 +113,15 @@ def initialize_multihost(coordinator: Optional[str] = None,
     environment; on CPU/GPU clusters pass coordinator="host:port",
     num_processes and process_id explicitly (the MPI_COMM_WORLD
     rank/size analog, mpi/mpimodule.jl:4-8)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    # NB: do not probe jax.process_count() here — it initializes the XLA
+    # backend, after which jax.distributed.initialize refuses to run.
+    try:
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return  # already initialized
+    except ImportError:  # pragma: no cover - private-module layout change
+        pass
     kwargs = {}
     if coordinator is not None:
         kwargs["coordinator_address"] = coordinator
