@@ -1,0 +1,102 @@
+"""A/B: Pallas fused Wilson D-slash vs the XLA roll/einsum formulation.
+
+Runs on the real chip (no CPU override). Prints one JSON line with
+steady-state per-apply times for:
+  xla_us          WilsonDirac.apply (framework layout, jitted)
+  pallas_us       dslash_planes (kernel layout kept across applies —
+                  the CG-loop steady state)
+  pallas_conv_us  dslash_pallas (layout conversions included)
+
+Timing methodology: the chain of n applies ends in a scalar fetch
+(block_until_ready returns early on the tunneled axon backend, see
+CLAUDE.md); the per-apply time is the (n1 - n0)-apply difference.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # noqa: BLE001
+    pass
+
+from latticeqcd_tpu.ops import fields
+from latticeqcd_tpu.ops.dirac.wilson import (
+    WilsonDirac,
+    apply_boundary_phases,
+    gaussian_spinor,
+)
+from latticeqcd_tpu.ops.dirac import wilson_pallas as wp
+
+LAT = (16, 16, 16, 32)
+KAPPA = 0.141139
+V = 16 ** 3 * 32
+FLOP = 1320 * V
+
+
+def timed_chain(f, red, x, n):
+    t0 = time.time()
+    o = x
+    for _ in range(n):
+        o = f(o)
+    _ = float(red(o))
+    return time.time() - t0
+
+
+def per_apply(f, red, x, n0=5, n1=45):
+    timed_chain(f, red, x, 2)  # warm
+    return (timed_chain(f, red, x, n1) - timed_chain(f, red, x, n0)) / (n1 - n0)
+
+
+def main():
+    dtype = jnp.complex64
+    u = apply_boundary_phases(fields.hot_start(LAT, 3, seed=0, dtype=dtype))
+    psi = gaussian_spinor(jax.random.PRNGKey(1), LAT, 3, nspin=4, dtype=dtype)
+    d = WilsonDirac(kappa=KAPPA)
+    out = {"device": str(jax.devices()[0]), "lattice": LAT}
+
+    # --- XLA baseline
+    f_xla = jax.jit(lambda p: d.apply(u, p))
+    red_c = jax.jit(lambda p: jnp.real(jnp.vdot(p, p)))
+    _ = float(red_c(f_xla(psi)))
+    dt = per_apply(f_xla, red_c, psi)
+    out["xla_us"] = round(dt * 1e6, 1)
+    out["xla_gflops"] = round(FLOP / dt / 1e9, 1)
+
+    # --- Pallas, kernel layout steady state
+    psi_k = wp.psi_to_planes(psi).astype(jnp.float32)
+    u_k, ut_k = wp.links_to_planes(u)
+    u_k, ut_k = u_k.astype(jnp.float32), ut_k.astype(jnp.float32)
+    f_pal = jax.jit(lambda p: wp.dslash_planes(p, u_k, ut_k, LAT, KAPPA))
+    red_f = jax.jit(lambda p: jnp.vdot(p, p))
+    _ = float(red_f(f_pal(psi_k)))
+    dt = per_apply(f_pal, red_f, psi_k)
+    out["pallas_us"] = round(dt * 1e6, 1)
+    out["pallas_gflops"] = round(FLOP / dt / 1e9, 1)
+
+    # --- Pallas with layout conversions each apply
+    f_conv = jax.jit(lambda p: wp.dslash_pallas(u, p, KAPPA))
+    _ = float(red_c(f_conv(psi)))
+    dt = per_apply(f_conv, red_c, psi)
+    out["pallas_conv_us"] = round(dt * 1e6, 1)
+
+    # numerical agreement
+    ref = f_xla(psi)
+    got = wp.planes_to_psi_shaped(f_pal(psi_k), LAT, dtype=dtype)
+    rel = float(jnp.linalg.norm(ref - got) / jnp.linalg.norm(ref))
+    out["rel_err"] = rel
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Pallas fused Wilson D-slash: interpret-mode equality vs the XLA path.
+
+The compiled-TPU A/B lives in scripts/ab_dslash_pallas.py (numbers in
+PERF.md); here the kernel's math is pinned exactly against
+WilsonDirac.apply on the CPU interpreter.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from latticeqcd_tpu.ops import fields
+from latticeqcd_tpu.ops.dirac.wilson import (
+    WilsonDirac,
+    apply_boundary_phases,
+    gaussian_spinor,
+)
+from latticeqcd_tpu.ops.dirac.wilson_pallas import dslash_pallas
+
+LAT = (4, 4, 4, 8)
+
+
+@pytest.fixture(scope="module")
+def fields_pair():
+    u = apply_boundary_phases(fields.hot_start(LAT, 3, seed=40))
+    psi = gaussian_spinor(jax.random.PRNGKey(41), LAT, 3)
+    return u, psi
+
+
+def test_pallas_dslash_matches_xla_f64(fields_pair):
+    u, psi = fields_pair
+    ref = WilsonDirac(kappa=0.141139).apply(u, psi)
+    out = dslash_pallas(u, psi, 0.141139, interpret=True)
+    assert float(jnp.max(jnp.abs(ref - out))) < 1e-12
+
+
+def test_pallas_dslash_matches_xla_f32(fields_pair):
+    u, psi = fields_pair
+    ref = WilsonDirac(kappa=0.141139).apply(u, psi)
+    out = dslash_pallas(
+        u.astype(jnp.complex64), psi.astype(jnp.complex64), 0.141139, interpret=True
+    )
+    assert float(jnp.max(jnp.abs(ref - out))) < 1e-5
+
+
+def test_pallas_dslash_asymmetric_lattice():
+    lat = (4, 8, 2, 4)
+    u = apply_boundary_phases(fields.hot_start(lat, 3, seed=42))
+    psi = gaussian_spinor(jax.random.PRNGKey(43), lat, 3)
+    ref = WilsonDirac(kappa=0.1).apply(u, psi)
+    out = dslash_pallas(u, psi, 0.1, interpret=True)
+    assert float(jnp.max(jnp.abs(ref - out))) < 1e-12
