@@ -27,6 +27,7 @@ def test_clover_term_gamma5_hermitian():
     assert float(jnp.max(jnp.abs(diff))) > 1e-3
 
 
+@pytest.mark.slow
 def test_clover_hmc_force_finite_difference():
     """WilsonClover fermion force is exact via the autodiff of the
     clover-improved operator application."""

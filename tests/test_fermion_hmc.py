@@ -51,6 +51,7 @@ def test_staggered_nf3_rhmc_force_finite_difference():
     _fd_check(fa, _u(), jax.random.PRNGKey(2))
 
 
+@pytest.mark.slow
 def test_staggered_nf6_two_pf_force_finite_difference():
     fa = StaggeredFermiAction(StaggeredDirac(mass=0.5, lattice=LAT), nf=6, eps_cg=1e-24)
     _fd_check(fa, _u(), jax.random.PRNGKey(3))

@@ -17,7 +17,7 @@ from latticeqcd_tpu.ops.dirac.wilson import (
 )
 from latticeqcd_tpu.ops.dirac.wilson_pallas import dslash_pallas
 
-LAT = (4, 4, 4, 8)
+LAT = (4, 4, 4, 4)
 
 
 @pytest.fixture(scope="module")
@@ -43,6 +43,7 @@ def test_pallas_dslash_matches_xla_f32(fields_pair):
     assert float(jnp.max(jnp.abs(ref - out))) < 1e-5
 
 
+@pytest.mark.slow
 def test_pallas_dslash_asymmetric_lattice():
     lat = (4, 8, 2, 4)
     u = apply_boundary_phases(fields.hot_start(lat, 3, seed=42))

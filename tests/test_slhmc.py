@@ -128,6 +128,7 @@ def test_slmc_learns_and_accepts_mismatched():
     assert stats["accepted"] and abs(float(stats["dH"])) < 1e-8
 
 
+@pytest.mark.slow
 def test_slmc_rect_basis_learns_two_couplings():
     """Two-coupling true action (plaquette + rectangular) against a
     two-element learned basis: lstsq recovers both couplings."""

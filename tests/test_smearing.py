@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from latticeqcd_tpu.ops import fields, gauge_action as ga, sun
 from latticeqcd_tpu.smearing import GradientFlow, gradientflow, stout_stack
@@ -24,6 +25,7 @@ def test_stout_multi_layer_and_rect_loops():
     assert float(sun.unitarity_defect(us)) < 1e-11
 
 
+@pytest.mark.slow
 def test_stout_differentiable():
     u = fields.hot_start((2, 2, 2, 2), 2, seed=33)
     net = stout_stack([0.12])

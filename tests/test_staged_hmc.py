@@ -56,6 +56,7 @@ def test_staged_matches_fused_pqp_quenched():
     assert float(jnp.max(jnp.abs(u1 - u2))) < 1e-10
 
 
+@pytest.mark.slow
 def test_staged_matches_fused_pqp_dynamical():
     """A reference TOML with QPQ=false + dynamical fermions must run on
     the staged (TPU) path too (VERDICT r1 weak #5)."""
@@ -73,6 +74,7 @@ def test_staged_matches_fused_pqp_dynamical():
     assert bool(st1["accepted"]) == bool(st2["accepted"])
 
 
+@pytest.mark.slow
 def test_staged_sexton_weingarten():
     u = fields.hot_start(LAT, 3, seed=93)
     fa = StaggeredFermiAction(StaggeredDirac(mass=0.5, lattice=LAT), nf=4, eps_cg=1e-20)
