@@ -118,19 +118,21 @@ def _cconst(c, x):
 # ---------------------------------------------------------------- the kernel
 
 
-def _make_kernel(lattice, kappa, interpret):
-    lx, ly, lz, lt = lattice
-    yx = lx * ly
-
+def _make_shift(lx, interpret):
+    """Periodic x/y/z neighbor access on a (Z, Y*X) plane. All shift
+    amounts are static; pltpu.roll requires them non-negative, so they
+    are normalized modulo the axis length."""
     if interpret:
         _roll = lambda f, s, axis: jnp.roll(f, s, axis=axis)
     else:
         from jax.experimental.pallas import tpu as pltpu
 
-        _roll = lambda f, s, axis: pltpu.roll(f, s, axis)
+        _roll = lambda f, s, axis: (
+            f if s % f.shape[axis] == 0 else pltpu.roll(f, s % f.shape[axis], axis)
+        )
 
     def shift(f, mu, sign):
-        """f(x + sign*mu_hat) on a (Z, Y*X) plane, periodic."""
+        """f(x + sign*mu_hat), periodic."""
         if mu == 2:  # z: sublane axis
             return _roll(f, -sign, 0)
         if mu == 1:  # y: lane roll by X
@@ -141,100 +143,230 @@ def _make_kernel(lattice, kappa, interpret):
             return jnp.where(lane_x == lx - 1, _roll(f, lx - 1, 1), _roll(f, -1, 1))
         return jnp.where(lane_x == 0, _roll(f, -(lx - 1), 1), _roll(f, 1, 1))
 
-    def kernel(pm_ref, p0_ref, pp_ref, u_ref, utm_ref, out_ref):
-        def psi(ref, s, c):
-            p = (s * NC + c) * 2
-            return (ref[0, p], ref[0, p + 1])
+    return shift
 
-        def link(ref4, mu, a, b):
+
+def _make_kernel(lattice, kappa, interpret):
+    lx, ly, lz, lt = lattice
+    yx = lx * ly
+
+    shift = _make_shift(lx, interpret)
+
+    def kernel(pm_ref, p0_ref, pp_ref, u_ref, utm_ref, out_ref):
+        def psi_at(ref):
+            return lambda s, c: (ref[0, (s * NC + c) * 2], ref[0, (s * NC + c) * 2 + 1])
+
+        def link(mu, a, b):
             p = (a * NC + b) * 2
-            return (ref4[0, mu, p], ref4[0, mu, p + 1])
+            return (u_ref[0, mu, p], u_ref[0, mu, p + 1])
 
         def linkm(a, b):  # backward-t link U_t(x, t-1)
             p = (a * NC + b) * 2
             return (utm_ref[0, p], utm_ref[0, p + 1])
 
-        zero = jnp.zeros_like(p0_ref[0, 0])
-        acc = [[(zero, zero) for _ in range(NC)] for _ in range(NS)]
-
-        def accumulate(rows, phi):
-            """acc += W phi, column structure rows[h] = (j, coeff)."""
-            for h, (j, cf) in enumerate(rows):
-                for c in range(NC):
-                    acc[h][c] = _cadd(acc[h][c], phi[h][c])
-                    acc[j][c] = _cadd(acc[j][c], _cconst(cf, phi[h][c]))
-
-        def project(rows, get):
-            """half[h][c] = (W† psi)[h][c] = psi[h] + conj(coeff) psi[j]."""
-            return [
-                [
-                    _cadd(get(h, c), _cconst(np.conj(cf), get(j, c)))
-                    for c in range(NC)
-                ]
-                for h, (j, cf) in enumerate(rows)
-            ]
-
-        def colmul(u_of, half):
-            """phi[h][a] = sum_b U[a,b] half[h][b]."""
-            out = []
-            for h in range(2):
-                row = []
-                for a in range(NC):
-                    s = _cmul(u_of(a, 0), half[h][0])
-                    s = _cadd(s, _cmul(u_of(a, 1), half[h][1]))
-                    s = _cadd(s, _cmul(u_of(a, 2), half[h][2]))
-                    row.append(s)
-                out.append(row)
-            return out
-
-        def colmul_dag(u_of, half):
-            """phi[h][a] = sum_b conj(U[b,a]) half[h][b]."""
-            out = []
-            for h in range(2):
-                row = []
-                for a in range(NC):
-                    s = _cmulj(u_of(0, a), half[h][0])
-                    s = _cadd(s, _cmulj(u_of(1, a), half[h][1]))
-                    s = _cadd(s, _cmulj(u_of(2, a), half[h][2]))
-                    row.append(s)
-                out.append(row)
-            return out
-
-        # spatial directions: project at x, shift the 12 half planes
-        for mu in range(3):
-            # forward: W- (U_mu(x) (W-† psi)(x+mu))
-            half = project(_WM[mu], lambda s, c: psi(p0_ref, s, c))
-            half = [
-                [(shift(re, mu, +1), shift(im, mu, +1)) for (re, im) in hc]
-                for hc in half
-            ]
-            accumulate(_WM[mu], colmul(lambda a, b, _mu=mu: link(u_ref, _mu, a, b), half))
-            # backward: W+ (U_mu(x-mu)† (W+† psi)(x-mu))
-            half = project(_WP[mu], lambda s, c: psi(p0_ref, s, c))
-            half = [
-                [(shift(re, mu, -1), shift(im, mu, -1)) for (re, im) in hc]
-                for hc in half
-            ]
-            u_sh = lambda a, b, _mu=mu: tuple(
-                shift(p, _mu, -1) for p in link(u_ref, _mu, a, b)
-            )
-            accumulate(_WP[mu], colmul_dag(u_sh, half))
-
-        # time direction: neighbor slices come in as separate inputs
-        half = project(_WM[3], lambda s, c: psi(pp_ref, s, c))
-        accumulate(_WM[3], colmul(lambda a, b: link(u_ref, 3, a, b), half))
-        half = project(_WP[3], lambda s, c: psi(pm_ref, s, c))
-        accumulate(_WP[3], colmul_dag(linkm, half))
-
-        # out = psi - kappa * hop
-        k = jnp.asarray(kappa, dtype=zero.dtype)
-        for s in range(NS):
-            for c in range(NC):
-                p = (s * NC + c) * 2
-                out_ref[0, p] = p0_ref[0, p] - k * acc[s][c][0]
-                out_ref[0, p + 1] = p0_ref[0, p + 1] - k * acc[s][c][1]
+        out = _dslash_body(
+            shift, psi_at(p0_ref), psi_at(pm_ref), psi_at(pp_ref), link, linkm, kappa
+        )
+        for p in range(NS * NC * 2):
+            out_ref[0, p] = out[p]
 
     return kernel
+
+
+def _dslash_body(shift, psi0, psim, psip, link, linkm, kappa):
+    """The unrolled D-slash compute, layout-agnostic.
+
+    psi0/psim/psip: (s, c) -> (re, im) plane pair at t / t-1 / t+1;
+    link: (mu, a, b) -> (re, im) at t; linkm: (a, b) -> U_t at t-1.
+    Returns the 24 output planes [plane p = (s*NC+c)*2 + reim].
+    """
+    zero0, zero1 = psi0(0, 0)
+    zero = zero0 * 0.0
+    acc = [[(zero, zero) for _ in range(NC)] for _ in range(NS)]
+
+    def accumulate(rows, phi):
+        """acc += W phi, column structure rows[h] = (j, coeff)."""
+        for h, (j, cf) in enumerate(rows):
+            for c in range(NC):
+                acc[h][c] = _cadd(acc[h][c], phi[h][c])
+                acc[j][c] = _cadd(acc[j][c], _cconst(cf, phi[h][c]))
+
+    def project(rows, get):
+        """half[h][c] = (W† psi)[h][c] = psi[h] + conj(coeff) psi[j]."""
+        return [
+            [_cadd(get(h, c), _cconst(np.conj(cf), get(j, c))) for c in range(NC)]
+            for h, (j, cf) in enumerate(rows)
+        ]
+
+    def colmul(u_of, half):
+        """phi[h][a] = sum_b U[a,b] half[h][b]."""
+        return [
+            [
+                _cadd(
+                    _cadd(_cmul(u_of(a, 0), half[h][0]), _cmul(u_of(a, 1), half[h][1])),
+                    _cmul(u_of(a, 2), half[h][2]),
+                )
+                for a in range(NC)
+            ]
+            for h in range(2)
+        ]
+
+    def colmul_dag(u_of, half):
+        """phi[h][a] = sum_b conj(U[b,a]) half[h][b]."""
+        return [
+            [
+                _cadd(
+                    _cadd(_cmulj(u_of(0, a), half[h][0]), _cmulj(u_of(1, a), half[h][1])),
+                    _cmulj(u_of(2, a), half[h][2]),
+                )
+                for a in range(NC)
+            ]
+            for h in range(2)
+        ]
+
+    # spatial directions: project at x, shift the 12 half planes
+    for mu in range(3):
+        # forward: W- (U_mu(x) (W-† psi)(x+mu))
+        half = project(_WM[mu], psi0)
+        half = [
+            [(shift(re, mu, +1), shift(im, mu, +1)) for (re, im) in hc] for hc in half
+        ]
+        accumulate(_WM[mu], colmul(lambda a, b, _mu=mu: link(_mu, a, b), half))
+        # backward: W+ (U_mu(x-mu)† (W+† psi)(x-mu))
+        half = project(_WP[mu], psi0)
+        half = [
+            [(shift(re, mu, -1), shift(im, mu, -1)) for (re, im) in hc] for hc in half
+        ]
+        u_sh = lambda a, b, _mu=mu: tuple(shift(p, _mu, -1) for p in link(_mu, a, b))
+        accumulate(_WP[mu], colmul_dag(u_sh, half))
+
+    # time direction: neighbor slices
+    accumulate(_WM[3], colmul(lambda a, b: link(3, a, b), project(_WM[3], psip)))
+    accumulate(_WP[3], colmul_dag(linkm, project(_WP[3], psim)))
+
+    # out = psi - kappa * hop
+    k = jnp.asarray(kappa, dtype=zero.dtype)
+    out = []
+    for s in range(NS):
+        for c in range(NC):
+            pre, pim = psi0(s, c)
+            out.append(pre - k * acc[s][c][0])
+            out.append(pim - k * acc[s][c][1])
+    return out
+
+
+# ------------------------------------------------- sliding-window variant
+#
+# The simple pipelined kernel above re-reads the t-1 and t+1 spinor
+# slices per grid step (3 psi reads -> 744 B/site of HBM traffic). This
+# variant keeps psi and ALL links in HBM (memory_space ANY) and streams
+# t-slices through 4-slot rotating VMEM windows with manual async DMA:
+# every slice is read exactly once, so the traffic is the roofline
+# minimum 480 B/site (PERF.md). The grid is sequential on a TPU core,
+# so the windows persist across steps; prefetch of slice i+2 overlaps
+# the compute of slice i.
+#
+# Load sequence: entry k holds slice (k-1) mod T (entry 0 = the t=T-1
+# wraparound slice), slot = k mod 4. Step i consumes entries i, i+1,
+# i+2 (slices i-1, i, i+1) and prefetches entry i+3 into the slot of
+# the just-expired entry i-1.
+
+
+def _make_window_kernel(lattice, kappa, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lx, ly, lz, lt = lattice
+    nplanes = NS * NC * 2
+    nslot = 4
+    shift = _make_shift(lx, interpret)
+
+    def kernel(psi_hbm, u_hbm, out_ref, psi_win, u_win, sems):
+        i = pl.program_id(0)
+
+        def dma(field, k):
+            """Async copy of load-sequence entry k (slice (k-1) mod T)."""
+            t = (k - 1) % lt
+            slot = k % nslot
+            hbm, win, row = (
+                (psi_hbm, psi_win, 0) if field == 0 else (u_hbm, u_win, 1)
+            )
+            return pltpu.make_async_copy(
+                hbm.at[t], win.at[slot], sems.at[row, slot]
+            )
+
+        @pl.when(i == 0)
+        def _():
+            for k in (0, 1, 2):
+                dma(0, k).start()
+                dma(1, k).start()
+            for k in (0, 1):
+                dma(0, k).wait()
+                dma(1, k).wait()
+
+        @pl.when(i < lt - 1)
+        def _():
+            dma(0, i + 3).start()
+            dma(1, i + 3).start()
+
+        dma(0, i + 2).wait()
+        dma(1, i + 2).wait()
+
+        sl_m = i % nslot  # entry i     = slice i-1
+        sl_0 = (i + 1) % nslot  # entry i+1 = slice i
+        sl_p = (i + 2) % nslot  # entry i+2 = slice i+1
+
+        def psi_at(slot):
+            return lambda s, c: (
+                psi_win[slot, (s * NC + c) * 2],
+                psi_win[slot, (s * NC + c) * 2 + 1],
+            )
+
+        def link(mu, a, b):
+            p = (a * NC + b) * 2
+            return (u_win[sl_0, mu, p], u_win[sl_0, mu, p + 1])
+
+        def linkm(a, b):
+            p = (a * NC + b) * 2
+            return (u_win[sl_m, 3, p], u_win[sl_m, 3, p + 1])
+
+        out = _dslash_body(
+            shift, psi_at(sl_0), psi_at(sl_m), psi_at(sl_p), link, linkm, kappa
+        )
+        for p in range(nplanes):
+            out_ref[0, p] = out[p]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("lattice", "kappa", "interpret"))
+def dslash_planes_window(psi_k, u_k, lattice, kappa, interpret=False):
+    """Sliding-window D-slash on kernel-layout fields. Minimum-traffic
+    variant (manual DMA; interpret=True emulates the DMAs on CPU)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lx, ly, lz, lt = lattice
+    if lt < 2:
+        raise ValueError("window kernel needs T >= 2")
+    nplanes, yx = NS * NC * 2, lx * ly
+    kernel = _make_window_kernel(lattice, kappa, interpret)
+    return pl.pallas_call(
+        kernel,
+        grid=(lt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, nplanes, lz, yx), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(psi_k.shape, psi_k.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((4, nplanes, lz, yx), psi_k.dtype),
+            pltpu.VMEM((4, DIRS, 2 * NC * NC, lz, yx), u_k.dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        interpret=interpret,
+    )(psi_k, u_k)
 
 
 # ----------------------------------------------------------- layout transforms

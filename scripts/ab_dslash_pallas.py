@@ -76,24 +76,40 @@ def main():
     psi_k = wp.psi_to_planes(psi).astype(jnp.float32)
     u_k, ut_k = wp.links_to_planes(u)
     u_k, ut_k = u_k.astype(jnp.float32), ut_k.astype(jnp.float32)
-    f_pal = jax.jit(lambda p: wp.dslash_planes(p, u_k, ut_k, LAT, KAPPA))
     red_f = jax.jit(lambda p: jnp.vdot(p, p))
-    _ = float(red_f(f_pal(psi_k)))
-    dt = per_apply(f_pal, red_f, psi_k)
-    out["pallas_us"] = round(dt * 1e6, 1)
-    out["pallas_gflops"] = round(FLOP / dt / 1e9, 1)
+    try:
+        f_pal = jax.jit(lambda p: wp.dslash_planes(p, u_k, ut_k, LAT, KAPPA))
+        _ = float(red_f(f_pal(psi_k)))
+        dt = per_apply(f_pal, red_f, psi_k)
+        out["pallas_us"] = round(dt * 1e6, 1)
+        out["pallas_gflops"] = round(FLOP / dt / 1e9, 1)
+        got = wp.planes_to_psi_shaped(f_pal(psi_k), LAT, dtype=dtype)
+        ref = f_xla(psi)
+        out["rel_err"] = float(jnp.linalg.norm(ref - got) / jnp.linalg.norm(ref))
+    except Exception as e:  # noqa: BLE001 - Mosaic may reject; record it
+        out["pallas_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+
+    # --- Pallas sliding-window (minimum-traffic) variant
+    try:
+        f_win = jax.jit(lambda p: wp.dslash_planes_window(p, u_k, LAT, KAPPA))
+        _ = float(red_f(f_win(psi_k)))
+        dt = per_apply(f_win, red_f, psi_k)
+        out["pallas_window_us"] = round(dt * 1e6, 1)
+        out["pallas_window_gflops"] = round(FLOP / dt / 1e9, 1)
+        ref_w = f_xla(psi)
+        got_w = wp.planes_to_psi_shaped(f_win(psi_k), LAT, dtype=dtype)
+        out["window_rel_err"] = float(
+            jnp.linalg.norm(ref_w - got_w) / jnp.linalg.norm(ref_w)
+        )
+    except Exception as e:  # noqa: BLE001 - Mosaic may reject; record it
+        out["pallas_window_error"] = f"{type(e).__name__}: {str(e)[:300]}"
 
     # --- Pallas with layout conversions each apply
-    f_conv = jax.jit(lambda p: wp.dslash_pallas(u, p, KAPPA))
-    _ = float(red_c(f_conv(psi)))
-    dt = per_apply(f_conv, red_c, psi)
-    out["pallas_conv_us"] = round(dt * 1e6, 1)
-
-    # numerical agreement
-    ref = f_xla(psi)
-    got = wp.planes_to_psi_shaped(f_pal(psi_k), LAT, dtype=dtype)
-    rel = float(jnp.linalg.norm(ref - got) / jnp.linalg.norm(ref))
-    out["rel_err"] = rel
+    if "pallas_us" in out:
+        f_conv = jax.jit(lambda p: wp.dslash_pallas(u, p, KAPPA))
+        _ = float(red_c(f_conv(psi)))
+        dt = per_apply(f_conv, red_c, psi)
+        out["pallas_conv_us"] = round(dt * 1e6, 1)
 
     print(json.dumps(out))
 

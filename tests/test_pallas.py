@@ -51,3 +51,32 @@ def test_pallas_dslash_asymmetric_lattice():
     ref = WilsonDirac(kappa=0.1).apply(u, psi)
     out = dslash_pallas(u, psi, 0.1, interpret=True)
     assert float(jnp.max(jnp.abs(ref - out))) < 1e-12
+
+
+def test_pallas_window_dslash_matches_xla(fields_pair):
+    """Sliding-window (manual DMA) variant, incl. the T-wrap pipeline."""
+    from latticeqcd_tpu.ops.dirac import wilson_pallas as wp
+
+    u, psi = fields_pair
+    ref = WilsonDirac(kappa=0.141139).apply(u, psi)
+    psi_k = wp.psi_to_planes(psi)
+    u_k, _ = wp.links_to_planes(u)
+    out_k = wp.dslash_planes_window(psi_k, u_k, LAT, 0.141139, interpret=True)
+    got = wp.planes_to_psi_shaped(out_k, LAT, dtype=psi.dtype)
+    assert float(jnp.max(jnp.abs(ref - got))) < 1e-12
+
+
+@pytest.mark.slow
+def test_pallas_window_dslash_t2_wrap():
+    """T=2: the t-1 and t+1 window entries alias the same slice."""
+    from latticeqcd_tpu.ops.dirac import wilson_pallas as wp
+
+    lat = (4, 8, 2, 2)
+    u = apply_boundary_phases(fields.hot_start(lat, 3, seed=44))
+    psi = gaussian_spinor(jax.random.PRNGKey(45), lat, 3)
+    ref = WilsonDirac(kappa=0.1).apply(u, psi)
+    psi_k = wp.psi_to_planes(psi)
+    u_k, _ = wp.links_to_planes(u)
+    out_k = wp.dslash_planes_window(psi_k, u_k, lat, 0.1, interpret=True)
+    got = wp.planes_to_psi_shaped(out_k, lat, dtype=psi.dtype)
+    assert float(jnp.max(jnp.abs(ref - got))) < 1e-12
