@@ -188,7 +188,10 @@ def _run_tier(flag: str, timeout_s: float):
         if r.returncode == 0:
             for line in r.stdout.decode().splitlines():
                 if line.startswith("{"):
-                    return json.loads(line), None
+                    try:
+                        return json.loads(line), None
+                    except json.JSONDecodeError as e:
+                        return None, f"unparseable tier output: {e}: {line[:120]}"
         return None, f"rc={r.returncode}: {r.stderr.decode()[-200:]}"
     except subprocess.TimeoutExpired:
         return None, f"tier {flag} timed out after {timeout_s:.0f}s"
@@ -209,14 +212,16 @@ def _load_partial() -> dict:
 def _merge_best(partial: dict, key: str, res: dict) -> None:
     """Keep the best measurement across runs: the TPU flaps, so a run
     during a bad window under-reports; max throughput / min wall-clock
-    over attempts is the steady-state number."""
+    over attempts is the steady-state number. An old entry whose schema
+    predates the comparison field never beats a fresh result."""
     old = partial.get(key)
     res["runs"] = (old.get("runs", 1) + 1) if old else 1
-    if (
-        old is None
-        or (key == "tier1" and res["dslash_gflops"] > old["dslash_gflops"])
-        or (key == "tier2" and res["wall_s"] < old["wall_s"])
-    ):
+    better = old is None or (
+        res["dslash_gflops"] > old.get("dslash_gflops", float("-inf"))
+        if key == "tier1"
+        else res["wall_s"] < old.get("wall_s", float("inf"))
+    )
+    if better:
         res["runs"] = max(res["runs"], old.get("runs", 1) if old else 1)
         partial[key] = res
     else:
@@ -275,11 +280,7 @@ def main():
         return
 
     partial = _load_partial()
-    # stale partials from a previous round are still better than nothing,
-    # but mark them so fresh results overwrite.
-    partial.pop("stale", None)
     state = {"last_err": ""}
-    done = False
 
     def _emit(*_a):
         print(json.dumps(_headline(partial, state["last_err"])), flush=True)
@@ -288,6 +289,21 @@ def main():
     signal.signal(signal.SIGTERM, _emit)
     signal.signal(signal.SIGINT, _emit)
 
+    # The ONE JSON line is guaranteed on every exit path: signals are
+    # handled above, and any orchestration bug below still reaches the
+    # finally-print instead of dying with only a traceback.
+    try:
+        _orchestrate(partial, state)
+    except Exception as e:  # noqa: BLE001
+        state["last_err"] = f"orchestrator error: {type(e).__name__}: {e}"
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+    finally:
+        print(json.dumps(_headline(partial, state["last_err"])), flush=True)
+
+
+def _orchestrate(partial: dict, state: dict) -> None:
     import jax  # backend detection only; tiers run in subprocesses
 
     if jax.default_backend() == "cpu":
@@ -298,7 +314,6 @@ def main():
                 _merge_best(partial, key, res)
             else:
                 state["last_err"] = err or ""
-        print(json.dumps(_headline(partial, state["last_err"])))
         return
 
     # Fresh tier1 is cheap — always re-measure it this run (a stale
@@ -308,6 +323,7 @@ def main():
     fails = {"tier1": 0, "tier2": 0}
     ran = {"tier1": False, "tier2": False}
     cooldown = 20
+    done = False
     while _remaining() > 60 and not done:
         if not _tpu_healthy():
             state["last_err"] = "TPU health probe failed"
@@ -345,8 +361,6 @@ def main():
                 sys.stderr.write(f"# tier2 failed ({fails['tier2']}): {err}\n")
             continue
         done = True
-
-    print(json.dumps(_headline(partial, state["last_err"])))
 
 
 if __name__ == "__main__":

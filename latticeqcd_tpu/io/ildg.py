@@ -25,43 +25,37 @@ DIRS = 4
 LIME_MAGIC = 0x456789AB
 
 
-def _lime_records(raw: bytes):
-    """Yield (type_string, payload) for each LIME record."""
-    pos = 0
-    while pos + 144 <= len(raw):
-        magic, version, flags, typelen = struct.unpack_from(">IHHQ", raw, pos)
-        if magic != LIME_MAGIC:
-            raise ValueError(f"bad LIME magic at offset {pos}: {magic:#x}")
-        # header: magic(4) version(2) msgflags(2) datalength(8) type(128)
-        datalength = typelen
-        rectype = raw[pos + 16 : pos + 144].split(b"\x00", 1)[0].decode("ascii", "replace")
-        start = pos + 144
-        yield rectype, raw[start : start + datalength]
-        padded = (datalength + 7) // 8 * 8
-        pos = start + padded
-
-
-def _is_lime(raw: bytes) -> bool:
-    return len(raw) >= 4 and struct.unpack_from(">I", raw, 0)[0] == LIME_MAGIC
-
-
-def _scan_configs(raw: bytes):
-    """List (precision, payload) for every ildg-binary-data record.
+def _scan_config_spans(fp, size: int):
+    """Header-only LIME scan: list (precision, offset, nbytes) for every
+    ildg-binary-data record, seeking over payloads (a multi-config
+    production file can be many GB — only 144-byte headers and the small
+    ildg-format XML records are actually read).
 
     One LIME file may hold several configurations, each its own message
     with an ildg-format record followed by ildg-binary-data — the
     reference indexes them via `load_gaugefield!(U, i, ildg, L, NC)`
-    (/root/reference/src/system/universe.jl:63-65).
+    (/root/reference/src/system/universe.jl:63-65). The precision from
+    an ildg-format record applies to every subsequent binary record
+    until the next ildg-format (some writers share one header record
+    across several configs).
     """
     configs = []
     precision = 64
-    for rectype, data in _lime_records(raw):
+    pos = 0
+    while pos + 144 <= size:
+        fp.seek(pos)
+        header = fp.read(144)
+        magic, _version, _flags, datalength = struct.unpack_from(">IHHQ", header, 0)
+        if magic != LIME_MAGIC:
+            raise ValueError(f"bad LIME magic at offset {pos}: {magic:#x}")
+        rectype = header[16:144].split(b"\x00", 1)[0].decode("ascii", "replace")
+        start = pos + 144
         if rectype == "ildg-format":
-            txt = data.decode("ascii", "replace")
+            txt = fp.read(datalength).decode("ascii", "replace")
             precision = 32 if "<precision>32</precision>" in txt else 64
-        if rectype == "ildg-binary-data":
-            configs.append((precision, data))
-            precision = 64
+        elif rectype == "ildg-binary-data":
+            configs.append((precision, start, datalength))
+        pos = start + (datalength + 7) // 8 * 8
     return configs
 
 
@@ -71,18 +65,22 @@ class ILDG:
     Counterpart of Gaugefields.jl's `ILDG(filename)` handle
     (/root/reference/src/system/universe.jl:63): `len(ildg)` configs,
     `ildg.load(i, lattice, nc)` with 1-based `i` like the reference.
+    Only LIME headers are read at construction; payloads are read
+    on demand by `load`.
     """
 
     def __init__(self, filename):
         self.filename = filename
+        size = os.path.getsize(filename)
         with open(filename, "rb") as fp:
-            raw = fp.read()
-        if _is_lime(raw):
-            self._configs = _scan_configs(raw)
-            if not self._configs:
-                raise ValueError(f"{filename}: no ildg-binary-data record found")
-        else:
-            self._configs = [(None, raw)]  # headerless blob; precision by size
+            head = fp.read(4)
+            if len(head) >= 4 and struct.unpack(">I", head)[0] == LIME_MAGIC:
+                self._configs = _scan_config_spans(fp, size)
+                if not self._configs:
+                    raise ValueError(f"{filename}: no ildg-binary-data record found")
+            else:
+                # headerless blob; precision inferred from size at load
+                self._configs = [(None, 0, size)]
 
     def __len__(self) -> int:
         return len(self._configs)
@@ -93,7 +91,10 @@ class ILDG:
             raise IndexError(
                 f"{self.filename}: config index {i} out of range 1..{len(self._configs)}"
             )
-        precision, payload = self._configs[i - 1]
+        precision, offset, nbytes = self._configs[i - 1]
+        with open(self.filename, "rb") as fp:
+            fp.seek(offset)
+            payload = fp.read(nbytes)
         return _decode_payload(payload, precision, lattice, nc, dtype, self.filename)
 
 

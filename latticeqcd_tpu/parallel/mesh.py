@@ -120,7 +120,7 @@ def initialize_multihost(coordinator: Optional[str] = None,
 
         if getattr(_dist.global_state, "client", None) is not None:
             return  # already initialized
-    except ImportError:  # pragma: no cover - private-module layout change
+    except (ImportError, AttributeError):  # pragma: no cover - jax layout change
         pass
     kwargs = {}
     if coordinator is not None:

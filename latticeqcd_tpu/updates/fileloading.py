@@ -30,6 +30,16 @@ class GivenConfigurations:
     nc: int
     filelist: List[str] = field(default_factory=list)
     current: int = 0
+    _ildg_handles: dict = field(default_factory=dict, repr=False)
+
+    def _ildg(self, fn):
+        """One header scan per file, reused across updates (a multi-config
+        production file can be GBs; ILDG() seeks over payloads but the
+        header walk still shouldn't repeat every trajectory)."""
+        h = self._ildg_handles.get(fn)
+        if h is None:
+            h = self._ildg_handles[fn] = ILDG(fn)
+        return h
 
     @classmethod
     def from_params(cls, p, lattice, nc):
@@ -48,14 +58,17 @@ class GivenConfigurations:
             )
         if not files:
             raise FileNotFoundError(f"no {fmt} configurations in {p.loadU_dir!r}")
+        self = cls(fmt, p.loadU_dir, tuple(lattice), nc)
         if fmt == "ILDG":
-            # expand multi-config LIME files into one entry per record
+            # expand multi-config LIME files into one entry per record,
+            # keeping the scanned handles for the load phase
             expanded = []
             for f in files:
-                n = len(ILDG(f))
+                n = len(self._ildg(f))
                 expanded.extend([(f, i + 1) for i in range(n)] if n > 1 else [f])
             files = expanded
-        return cls(fmt, p.loadU_dir, tuple(lattice), nc, filelist=files)
+        self.filelist = files
+        return self
 
     @property
     def nsteps(self) -> int:
@@ -68,10 +81,8 @@ class GivenConfigurations:
             return load_u(filename, dtype=dtype)
         if self.loadU_format == "ILDG":
             # each entry may be (file, index) for multi-config LIME files
-            if isinstance(filename, tuple):
-                fn, idx = filename
-                return ILDG(fn).load(idx, self.lattice, self.nc, dtype=dtype)
-            return ILDG(filename).load(1, self.lattice, self.nc, dtype=dtype)
+            fn, idx = filename if isinstance(filename, tuple) else (filename, 1)
+            return self._ildg(fn).load(idx, self.lattice, self.nc, dtype=dtype)
         return load_bridge_text(filename, self.lattice, self.nc, dtype=dtype)
 
     def update(self, u, key):
