@@ -104,6 +104,33 @@ def main():
     except Exception as e:  # noqa: BLE001 - Mosaic may reject; record it
         out["pallas_window_error"] = f"{type(e).__name__}: {str(e)[:300]}"
 
+    # --- Staggered packed W: XLA vs fused Pallas window kernel
+    from latticeqcd_tpu.ops.dirac import staggered_pallas as sp
+    from latticeqcd_tpu.ops.dirac.staggered import StaggeredDirac
+
+    ds = StaggeredDirac(mass=0.5, lattice=LAT)
+    psi1 = gaussian_spinor(jax.random.PRNGKey(2), LAT, 3, nspin=1, dtype=dtype)
+    phi_e = ds.pack(jnp.where(ds.even_mask[..., None], psi1, 0.0), 0)
+    u_eo = ds.packed_links(u)
+    f_wx = jax.jit(lambda p: ds.apply_w_packed(u_eo, p))
+    _ = float(red_c(f_wx(phi_e)))
+    dt = per_apply(f_wx, red_c, phi_e)
+    out["stag_w_xla_us"] = round(dt * 1e6, 1)
+    try:
+        phi_k = sp.phi_to_planes(phi_e).astype(jnp.float32)
+        uk2 = sp.links_to_planes(u_eo).astype(jnp.float32)
+        f_wp = jax.jit(lambda p: sp.w_planes_window(p, uk2, LAT, 0.5))
+        _ = float(red_f(f_wp(phi_k)))
+        dt = per_apply(f_wp, red_f, phi_k)
+        out["stag_w_pallas_us"] = round(dt * 1e6, 1)
+        ref_s = f_wx(phi_e)
+        got_s = sp.planes_to_phi(f_wp(phi_k), phi_e.shape, dtype=dtype)
+        out["stag_w_rel_err"] = float(
+            jnp.linalg.norm(ref_s - got_s) / jnp.linalg.norm(ref_s)
+        )
+    except Exception as e:  # noqa: BLE001
+        out["stag_w_pallas_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+
     # --- Pallas with layout conversions each apply
     if "pallas_us" in out:
         f_conv = jax.jit(lambda p: wp.dslash_pallas(u, p, KAPPA))

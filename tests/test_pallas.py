@@ -80,3 +80,35 @@ def test_pallas_window_dslash_t2_wrap():
     out_k = wp.dslash_planes_window(psi_k, u_k, lat, 0.1, interpret=True)
     got = wp.planes_to_psi_shaped(out_k, lat, dtype=psi.dtype)
     assert float(jnp.max(jnp.abs(ref - got))) < 1e-12
+
+
+def test_pallas_staggered_w_matches_packed():
+    """Fused W = m^2 - D_eo D_oe (double-hop window) vs apply_w_packed."""
+    from latticeqcd_tpu.ops.dirac import staggered_pallas as sp
+    from latticeqcd_tpu.ops.dirac.staggered import StaggeredDirac
+
+    lat = (4, 4, 4, 8)
+    d = StaggeredDirac(mass=0.5, lattice=lat)
+    u = fields.hot_start(lat, 3, seed=50)
+    psi = gaussian_spinor(jax.random.PRNGKey(51), lat, 3, nspin=1)
+    phi_e = d.pack(jnp.where(d.even_mask[..., None], psi, 0.0), 0)
+    up = apply_boundary_phases(u, d.bc)
+    ref = d.apply_w_packed(d.packed_links(up), phi_e)
+    got = sp.apply_w_pallas(d, u, phi_e, interpret=True)
+    assert float(jnp.max(jnp.abs(ref - got))) < 1e-12
+
+
+@pytest.mark.slow
+def test_pallas_staggered_w_edge_lattices():
+    from latticeqcd_tpu.ops.dirac import staggered_pallas as sp
+    from latticeqcd_tpu.ops.dirac.staggered import StaggeredDirac
+
+    for lat in [(4, 8, 2, 2), (2, 4, 2, 6)]:
+        d = StaggeredDirac(mass=0.3, lattice=lat)
+        u = fields.hot_start(lat, 3, seed=52)
+        psi = gaussian_spinor(jax.random.PRNGKey(53), lat, 3, nspin=1)
+        phi_e = d.pack(jnp.where(d.even_mask[..., None], psi, 0.0), 0)
+        up = apply_boundary_phases(u, d.bc)
+        ref = d.apply_w_packed(d.packed_links(up), phi_e)
+        got = sp.apply_w_pallas(d, u, phi_e, interpret=True)
+        assert float(jnp.max(jnp.abs(ref - got))) < 1e-12, lat
