@@ -12,13 +12,30 @@ import time
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     if len(argv) < 1:
-        print("usage: python -m latticeqcd_tpu.run <parameters.toml> [--f64|--f32]")
+        print(
+            "usage: python -m latticeqcd_tpu.run <parameters.toml> [--f64|--f32]"
+            " [--resume checkpoint.npz] [--profile tracedir]"
+        )
         return 2
     dtype_flag = "--f64"
-    args = [a for a in argv if not a.startswith("--")]
-    flags = [a for a in argv if a.startswith("--")]
-    if "--f32" in flags:
-        dtype_flag = "--f32"
+    resume = None
+    profile_dir = None
+    args = []
+    it = iter(argv)
+    for a in it:
+        if a == "--resume":
+            resume = next(it)
+        elif a == "--profile":
+            profile_dir = next(it)
+        elif a == "--f32":
+            dtype_flag = "--f32"
+        elif a == "--f64":
+            dtype_flag = "--f64"
+        elif a.startswith("--"):
+            print(f"unknown flag {a!r}")
+            return 2
+        else:
+            args.append(a)
 
     import jax
 
@@ -37,7 +54,9 @@ def main(argv=None):
     from latticeqcd_tpu.system.lqcd import run_lqcd_file
 
     t0 = time.time()
-    plaq = run_lqcd_file(args[0], dtype=jnp.dtype(dtype))
+    plaq = run_lqcd_file(
+        args[0], dtype=jnp.dtype(dtype), resume_checkpoint=resume, profile_dir=profile_dir
+    )
     print(f"final plaquette = {plaq}")
     print(f"elapsed {time.time()-t0:.2f} s")
     return 0

@@ -90,7 +90,8 @@ class Savedata:
             )
 
 
-def run_lqcd_file(filename, make_dirs: bool = True, dtype=jnp.complex128, shard_mesh=None):
+def run_lqcd_file(filename, make_dirs: bool = True, dtype=jnp.complex128, shard_mesh=None,
+                  resume_checkpoint=None, profile_dir=None):
     """run_LQCD_file: accepts a TOML path (or a parsed dict/Params).
 
     shard_mesh: optional jax.sharding.Mesh — the link field is placed
@@ -109,7 +110,8 @@ def run_lqcd_file(filename, make_dirs: bool = True, dtype=jnp.complex128, shard_
         elif ext not in (".toml", ""):
             raise ValueError(f"{filename} is not supported. use a TOML format.")
         parameters = construct_params_from_toml(filename, make_dirs=make_dirs)
-    return run_lqcd_params(parameters, make_dirs=make_dirs, dtype=dtype, shard_mesh=shard_mesh)
+    return run_lqcd_params(parameters, make_dirs=make_dirs, dtype=dtype, shard_mesh=shard_mesh,
+                           resume_checkpoint=resume_checkpoint, profile_dir=profile_dir)
 
 
 def run_lqcd_params(p: Params, make_dirs: bool = True, dtype=jnp.complex128, shard_mesh=None,
