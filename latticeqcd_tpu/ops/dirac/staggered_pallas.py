@@ -90,11 +90,11 @@ def _make_w_kernel(lattice, mass, interpret):
         viewed from target sites (eo_pack.gather_plus/minus semantics);
         mu in (0,1,2) only — t neighbors come from the window."""
         if mu == 0:
-            plus = tuple(shift(p, 0, +1) for p in f_pair)
-            minus = tuple(shift(p, 0, -1) for p in f_pair)
             if sign > 0:
-                return tuple(jnp.where(m_off, a, b) for a, b in zip(plus, f_pair))
-            return tuple(jnp.where(m_off, a, b) for a, b in zip(f_pair, minus))
+                return tuple(
+                    jnp.where(m_off, shift(p, 0, +1), p) for p in f_pair
+                )
+            return tuple(jnp.where(m_off, p, shift(p, 0, -1)) for p in f_pair)
         return tuple(shift(p, mu, sign) for p in f_pair)
 
     def dslash_slice(s_idx, p_t, phi_m, phi_0, phi_p, link_t, link_s, link_s_tm):
@@ -156,9 +156,13 @@ def _make_w_kernel(lattice, mass, interpret):
             return lambda c: (phi_win[slot, 2 * c], phi_win[slot, 2 * c + 1])
 
         def link_at(slot, par):
+            # u_win is flattened to (slot, 144, Z, YX): plane index
+            # ((par*4 + mu)*9 + a*3 + b)*2 + reim — static per access,
+            # keeping the scratch 4-D (Mosaic generates much better code
+            # than for a 6-D scratch with a traced leading index).
             def get(mu, a, b):
-                p = (a * NC + b) * 2
-                return (u_win[slot, par, mu, p], u_win[slot, par, mu, p + 1])
+                p = (((par * DIRS + mu) * NC + a) * NC + b) * 2
+                return (u_win[slot, p], u_win[slot, p + 1])
 
             return get
 
@@ -255,12 +259,12 @@ def planes_to_phi(f, packed_shape, dtype=jnp.complex64):
 
 def links_to_planes(u_eo):
     """(u_e, u_o), each (4, X2, Y, Z, T, NC, NC) complex
-    -> [T, 2, 4, 18, Z, Y*X2] float."""
+    -> [T, 144, Z, Y*X2] float (plane = ((par*4+mu)*9 + a*3+b)*2 + reim)."""
     g = jnp.stack(u_eo, axis=0)  # [2, mu, X2, Y, Z, T, a, b]
     _, _, x2, ly, lz, lt = g.shape[:6]
     g = jnp.transpose(g, (5, 0, 1, 6, 7, 4, 3, 2))  # [T,2,mu,a,b,Z,Y,X2]
     g = jnp.stack([g.real, g.imag], axis=5)  # [T,2,mu,a,b,2,Z,Y,X2]
-    return g.reshape(lt, 2, DIRS, NC * NC * 2, lz, ly * x2)
+    return g.reshape(lt, 2 * DIRS * NC * NC * 2, lz, ly * x2)
 
 
 # ----------------------------------------------------------------- public API
@@ -289,7 +293,7 @@ def w_planes_window(phi_k, u_k, lattice, mass, interpret=False):
         out_shape=jax.ShapeDtypeStruct(phi_k.shape, phi_k.dtype),
         scratch_shapes=[
             pltpu.VMEM((4, nplanes, lz, yx), phi_k.dtype),
-            pltpu.VMEM((4, 2, DIRS, 2 * NC * NC, lz, yx), u_k.dtype),
+            pltpu.VMEM((4, 2 * DIRS * NC * NC * 2, lz, yx), u_k.dtype),
             pltpu.VMEM((3, nplanes, lz, yx), phi_k.dtype),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],

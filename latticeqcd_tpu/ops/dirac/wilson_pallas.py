@@ -272,13 +272,16 @@ def _dslash_body(shift, psi0, psim, psip, link, linkm, kappa):
 # the just-expired entry i-1.
 
 
-def _make_window_kernel(lattice, kappa, interpret=False):
+def _make_window_kernel(lattice, kappa, interpret=False, depth=4):
+    """depth = number of in-flight prefetched slices (window = 3 + depth
+    slots); deeper prefetch hides more DMA latency at the cost of VMEM
+    (each link slot is ~1.2 MB at 16^3 spatial)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     lx, ly, lz, lt = lattice
     nplanes = NS * NC * 2
-    nslot = 4
+    nslot = 3 + depth
     shift = _make_shift(lx, interpret)
 
     def kernel(psi_hbm, u_hbm, out_ref, psi_win, u_win, sems):
@@ -295,19 +298,22 @@ def _make_window_kernel(lattice, kappa, interpret=False):
                 hbm.at[t], win.at[slot], sems.at[row, slot]
             )
 
+        # entries 0..lt+1 each started and waited exactly once:
+        # warm-up starts 0..depth+1 and waits 0..1; step i waits entry
+        # i+2 and starts entry i+2+depth while slices i-1..i+1 compute.
         @pl.when(i == 0)
         def _():
-            for k in (0, 1, 2):
+            for k in range(min(depth + 2, lt + 2)):
                 dma(0, k).start()
                 dma(1, k).start()
             for k in (0, 1):
                 dma(0, k).wait()
                 dma(1, k).wait()
 
-        @pl.when(i < lt - 1)
+        @pl.when(i + 2 + depth <= lt + 1)
         def _():
-            dma(0, i + 3).start()
-            dma(1, i + 3).start()
+            dma(0, i + 2 + depth).start()
+            dma(1, i + 2 + depth).start()
 
         dma(0, i + 2).wait()
         dma(1, i + 2).wait()
@@ -339,8 +345,8 @@ def _make_window_kernel(lattice, kappa, interpret=False):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("lattice", "kappa", "interpret"))
-def dslash_planes_window(psi_k, u_k, lattice, kappa, interpret=False):
+@partial(jax.jit, static_argnames=("lattice", "kappa", "interpret", "depth"))
+def dslash_planes_window(psi_k, u_k, lattice, kappa, interpret=False, depth=4):
     """Sliding-window D-slash on kernel-layout fields. Minimum-traffic
     variant (manual DMA; interpret=True emulates the DMAs on CPU)."""
     from jax.experimental import pallas as pl
@@ -350,7 +356,8 @@ def dslash_planes_window(psi_k, u_k, lattice, kappa, interpret=False):
     if lt < 2:
         raise ValueError("window kernel needs T >= 2")
     nplanes, yx = NS * NC * 2, lx * ly
-    kernel = _make_window_kernel(lattice, kappa, interpret)
+    nslot = 3 + depth
+    kernel = _make_window_kernel(lattice, kappa, interpret, depth)
     return pl.pallas_call(
         kernel,
         grid=(lt,),
@@ -361,9 +368,9 @@ def dslash_planes_window(psi_k, u_k, lattice, kappa, interpret=False):
         out_specs=pl.BlockSpec((1, nplanes, lz, yx), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(psi_k.shape, psi_k.dtype),
         scratch_shapes=[
-            pltpu.VMEM((4, nplanes, lz, yx), psi_k.dtype),
-            pltpu.VMEM((4, DIRS, 2 * NC * NC, lz, yx), u_k.dtype),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.VMEM((nslot, nplanes, lz, yx), psi_k.dtype),
+            pltpu.VMEM((nslot, DIRS, 2 * NC * NC, lz, yx), u_k.dtype),
+            pltpu.SemaphoreType.DMA((2, nslot)),
         ],
         interpret=interpret,
     )(psi_k, u_k)
