@@ -1,0 +1,63 @@
+"""Direct HBM streaming-bandwidth measurement on the real chip.
+
+Motivated by PERF.md's open question: the measured 26 us packed-W
+apply implies ~1.6 TB/s effective read throughput, above the v5e
+datasheet 819 GB/s. This pins the chip's actual achievable f32
+streaming rate with the same scalar-fetch timing methodology.
+
+Prints one JSON line: {"copy_gbps": ..., "triad_gbps": ...}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # noqa: BLE001
+    pass
+
+
+def measure(nbytes_each=256 * 1024 * 1024):
+    n = nbytes_each // 4
+    x = jnp.ones((n,), dtype=jnp.float32)
+
+    def chain_time(f, x0, reps):
+        red = jax.jit(lambda v: v[0] + v[n - 1])
+        t0 = time.time()
+        o = x0
+        for _ in range(reps):
+            o = f(o)
+        _ = float(red(o))
+        return time.time() - t0
+
+    out = {"bytes_each": nbytes_each, "device": str(jax.devices()[0])}
+
+    # copy-scale: read n + write n per pass
+    f = jax.jit(lambda v: v * 1.000001)
+    _ = f(x).block_until_ready()
+    chain_time(f, x, 2)
+    dt = (chain_time(f, x, 12) - chain_time(f, x, 2)) / 10
+    out["copyscale_ms"] = round(dt * 1e3, 3)
+    out["copyscale_gbps"] = round(2 * n * 4 / dt / 1e9, 1)
+
+    # triad: o = v*a + y (read 2n + write n)
+    y = jnp.full((n,), 0.5, dtype=jnp.float32)
+    g = jax.jit(lambda v: v * 1.000001 + y)
+    _ = g(x).block_until_ready()
+    chain_time(g, x, 2)
+    dt = (chain_time(g, x, 12) - chain_time(g, x, 2)) / 10
+    out["triad_ms"] = round(dt * 1e3, 3)
+    out["triad_gbps"] = round(3 * n * 4 / dt / 1e9, 1)
+    return out
+
+
+if __name__ == "__main__":
+    print(json.dumps(measure()))
