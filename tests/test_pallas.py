@@ -27,6 +27,7 @@ def fields_pair():
     return u, psi
 
 
+@pytest.mark.slow
 def test_pallas_dslash_matches_xla_f64(fields_pair):
     u, psi = fields_pair
     ref = WilsonDirac(kappa=0.141139).apply(u, psi)
@@ -87,7 +88,7 @@ def test_pallas_staggered_w_matches_packed():
     from latticeqcd_tpu.ops.dirac import staggered_pallas as sp
     from latticeqcd_tpu.ops.dirac.staggered import StaggeredDirac
 
-    lat = (4, 4, 4, 8)
+    lat = (4, 4, 4, 4)
     d = StaggeredDirac(mass=0.5, lattice=lat)
     u = fields.hot_start(lat, 3, seed=50)
     psi = gaussian_spinor(jax.random.PRNGKey(51), lat, 3, nspin=1)
