@@ -228,3 +228,44 @@ def test_fileloading_jld2_dir(tmp_path):
     u0 = jnp.zeros((4, 2, 2, 2, 4, 2, 2), dtype=jnp.complex128)
     got, _, _ = gc.update(u0, None)
     assert float(jnp.max(jnp.abs(got - us[0]))) == 0.0
+
+
+def test_driver_initial_jld2(tmp_path):
+    """universe._load_initial JLD branch with a real .jld2 file."""
+    from latticeqcd_tpu.io import save_jld2
+    from latticeqcd_tpu.system.lqcd import run_lqcd_file
+
+    u = fields.hot_start((4, 4, 4, 4), 2, seed=8)
+    conf = tmp_path / "start.jld2"
+    save_jld2(conf, u)
+    toml = tmp_path / "p.toml"
+    toml.write_text(f"""
+["Physical setting"]
+L = [4, 4, 4, 4]
+NC = 2
+"β" = 1.9
+update_method = "HMC"
+quench = true
+Nsteps = 1
+initial = "{conf}"
+loadU_format = "JLD"
+
+["System Control"]
+log_dir = "{tmp_path}/logs"
+measurement_basedir = "{tmp_path}/meas"
+measurement_dir = "m"
+
+["HMC related"]
+MDsteps = 2
+"Δτ" = 0.1
+
+["Measurement set".measurement_methods.Plaquette]
+methodname = "Plaquette"
+measure_every = 1
+""")
+    plaq = run_lqcd_file(str(toml))
+    assert -1.0 < plaq < 1.0
+    # the trajectory-0 measurement must equal the loaded config's plaquette
+    lines = (tmp_path / "meas/m/Plaquette.txt").read_text().splitlines()
+    first = float(lines[0].split()[1])
+    assert abs(first - float(gauge_action.mean_plaquette(u))) < 1e-12
