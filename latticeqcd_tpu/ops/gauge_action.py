@@ -107,7 +107,8 @@ def _plaquette_staple(u: jnp.ndarray, mu: int) -> jnp.ndarray:
         umu_pnu = wilsonline._roll_to(umu, _unit(nu))
         fwd = sun.mul(unu_pmu, sun.dagger(sun.mul(unu, umu_pnu)))
         # backward staple: everything lives at y-nu, then shift up
-        bwd_at = sun.mul(sun.dagger(sun.mul(umu, wilsonline._roll_to(unu, _unit(mu)))), unu)
+        # (reuses the same U_nu(y+mu) shift as the forward staple)
+        bwd_at = sun.mul(sun.dagger(sun.mul(umu, unu_pmu)), unu)
         bwd = wilsonline._roll_to(bwd_at, _neg_unit(nu))
         total = total + fwd + bwd
     return total

@@ -100,6 +100,14 @@ def rational_inverse_power(
     shifts = tuple([0.0] + list(dj))
     pf = PartialFraction(0.0, residues, shifts, lo, hi, 0.0)
     err = _max_rel_err(pf, beta, lo, hi)
+    if err >= tol:
+        # cancellation in the re-expansion can eat the inner tolerance;
+        # fail loudly like the beta<1 branch rather than returning an
+        # approximation with an unbounded systematic error
+        raise RuntimeError(
+            f"no {tol} approx of x^-{beta} on [{lo},{hi}]: re-expansion "
+            f"reached {err:.2e} with {len(residues)} terms"
+        )
     return PartialFraction(0.0, residues, shifts, lo, hi, err)
 
 
@@ -125,4 +133,9 @@ def rational_power(
     pf = PartialFraction(const, residues, shifts, lo, hi, 0.0)
     x = np.geomspace(lo, hi, 4001)
     err = float(np.max(np.abs(pf(x) - x**beta) / x**beta))
+    if err >= tol:
+        raise RuntimeError(
+            f"no {tol} approx of x^{beta} on [{lo},{hi}]: transformation "
+            f"reached {err:.2e} with {len(residues)} terms"
+        )
     return PartialFraction(const, residues, shifts, lo, hi, err)

@@ -8,7 +8,9 @@ jit"); on a sharded mesh every inner product is a global psum —
 exactly the reference's MPI allreduce points.
 
 Stopping criterion: |r|^2 < eps * max(|b|^2, 1) — eps plays the role
-of the reference's eps_CG (default 1e-19, parameter_structs.jl:294).
+of the reference's eps_CG (default 1e-19, parameter_structs.jl:294),
+clamped per dtype to an attainable target (see _effective_eps) so a
+f64-tuned TOML doesn't make every complex64 solve spin to maxiter.
 """
 
 from __future__ import annotations
@@ -24,6 +26,27 @@ def _vdot(a, b):
     return jnp.vdot(a, b)
 
 
+def _safe_div(a, b):
+    """a/b with 0 where b == 0 (Krylov breakdown guard: a vanishing
+    denominator here always means the residual is already ~0, so a zero
+    step is the correct continuation instead of NaN)."""
+    bz = b == 0
+    return jnp.where(bz, jnp.zeros_like(a), a / jnp.where(bz, jnp.ones_like(b), b))
+
+
+def _effective_eps(eps: float, dtype) -> float:
+    """Clamp the relative |r|^2/|b|^2 target to what the dtype can reach.
+
+    The reference's default eps_CG = 1e-19 (parameter_structs.jl:294)
+    presumes f64; in complex64 (the TPU path, CLAUDE.md) the attainable
+    relative residual-squared floors out around (few x 1e-7)^2, so an
+    unclamped 1e-19 makes every solve silently spin to maxiter on
+    stagnated iterations."""
+    if jnp.dtype(dtype) in (jnp.dtype(jnp.complex64), jnp.dtype(jnp.float32)):
+        return max(float(eps), 2.5e-13)
+    return float(eps)
+
+
 def cg(apply_a: Callable, b: jnp.ndarray, x0=None, eps: float = 1e-19, maxiter: int = 3000):
     """Conjugate gradient for hermitian positive definite A.
 
@@ -33,7 +56,7 @@ def cg(apply_a: Callable, b: jnp.ndarray, x0=None, eps: float = 1e-19, maxiter: 
     r = b - apply_a(x) if x0 is not None else b
     p = r
     rsq = jnp.real(_vdot(r, r))
-    target = eps * jnp.maximum(jnp.real(_vdot(b, b)), 1.0)
+    target = _effective_eps(eps, b.dtype) * jnp.maximum(jnp.real(_vdot(b, b)), 1.0)
 
     def cond(carry):
         x, r, p, rsq, it = carry
@@ -62,7 +85,7 @@ def bicgstab(apply_a: Callable, b: jnp.ndarray, x0=None, eps: float = 1e-19, max
     rho = _vdot(rhat, r)
     p = r
     rsq = jnp.real(_vdot(r, r))
-    target = eps * jnp.maximum(jnp.real(_vdot(b, b)), 1.0)
+    target = _effective_eps(eps, b.dtype) * jnp.maximum(jnp.real(_vdot(b, b)), 1.0)
 
     def cond(carry):
         x, r, p, rho, rsq, it = carry
@@ -71,14 +94,17 @@ def bicgstab(apply_a: Callable, b: jnp.ndarray, x0=None, eps: float = 1e-19, max
     def body(carry):
         x, r, p, rho, rsq, it = carry
         v = apply_a(p)
-        alpha = rho / _vdot(rhat, v)
+        alpha = _safe_div(rho, _vdot(rhat, v))
         s = r - alpha * v
         t = apply_a(s)
-        omega = _vdot(t, s) / _vdot(t, t)
+        # breakdown guards: s == 0 (converged at the alpha half step)
+        # makes omega 0/0; omega = 0 then yields r = s = 0 and a clean
+        # exit instead of a NaN-poisoned x. Likewise rho/omega -> beta.
+        omega = _safe_div(_vdot(t, s), _vdot(t, t))
         x = x + alpha * p + omega * s
         r = s - omega * t
         rho_new = _vdot(rhat, r)
-        beta = (rho_new / rho) * (alpha / omega)
+        beta = _safe_div(rho_new, rho) * _safe_div(alpha, omega)
         p = r + beta * (p - omega * v)
         rsq = jnp.real(_vdot(r, r))
         return x, r, p, rho_new, rsq, it + 1
@@ -124,7 +150,7 @@ def multishift_cg(
     a_prev = jnp.ones((), dtype=rdtype)
     b_prev = jnp.zeros((), dtype=rdtype)
     rsq = jnp.real(_vdot(r, r))
-    target = eps * jnp.maximum(jnp.real(_vdot(b, b)), 1.0)
+    target = _effective_eps(eps, b.dtype) * jnp.maximum(jnp.real(_vdot(b, b)), 1.0)
 
     def cond(carry):
         (x, r, p, ps, zeta, zeta_prev, a_prev, b_prev, rsq, it) = carry

@@ -37,12 +37,8 @@ from latticeqcd_tpu.ops import sun
 DIRS = 4
 
 
-def _color_moduli(action: ga.GaugeAction, lattice) -> tuple:
-    """Per-axis coloring modulus: smallest m > extent with m | L (else L)."""
-    return _color_moduli_ext(action.max_extent(), lattice)
-
-
 def _color_moduli_ext(ext: int, lattice) -> tuple:
+    """Per-axis coloring modulus: smallest m > extent with m | L (else L)."""
     if ext == 1:
         return (2, 2, 2, 2) if all(l % 2 == 0 for l in lattice) else tuple(lattice)
     moduli = []
@@ -113,10 +109,18 @@ def _kp_sample_a0(key, alpha, mask, iteration_max):
     ~ sqrt(1-a0^2) exp(alpha a0), vectorized over sites.
 
     The bounded rejection loop (ITERATION_MAX semantics) runs a FIXED
-    trip count with a done-mask: per-try acceptance is O(1), so
-    48 masked tries push the failure probability below 1e-10/site,
-    and a fixed fori_loop (unlike while_loop) may nest inside the
-    color loop on the TPU backend."""
+    trip count with a done-mask: per-try acceptance is O(1) at the
+    couplings of interest, so 48 masked tries push the failure
+    probability below 1e-10/site, and a fixed fori_loop (unlike
+    while_loop) may nest inside the color loop on the TPU backend.
+
+    Returns (a0, accepted, key). Sites whose tries are exhausted come
+    back accepted=False and MUST be skipped by the caller: leaving the
+    link unchanged is a valid lazy step of the Gibbs kernel (exactly
+    unbiased), whereas substituting any deterministic a0 would bias
+    the sampled density — relevant at very small alpha (strong
+    coupling), where KP acceptance degrades and the reference instead
+    retries up to ITERATION_MAX."""
     shape = alpha.shape
     alpha = jnp.maximum(alpha, 1e-30)
     kp_iters = int(min(iteration_max, 48))
@@ -139,7 +143,7 @@ def _kp_sample_a0(key, alpha, mask, iteration_max):
     done0 = ~mask  # only masked sites need a sample
     a0_init = jnp.ones(shape, dtype=alpha.dtype)
     done, a0, key = jax.lax.fori_loop(0, kp_iters, body, (done0, a0_init, key))
-    return jnp.clip(a0, -1.0, 1.0), key
+    return jnp.clip(a0, -1.0, 1.0), done, key
 
 
 def _random_unit3(key, shape, dtype):
@@ -258,14 +262,19 @@ class Heatbath:
                         v2 = _su2_from_quat(w0, wv[0], wv[1], wv[2], u.dtype)
                     else:
                         key, k_a0, k_dir = jax.random.split(key, 3)
-                        a0, k_a0 = _kp_sample_a0(k_a0, 2.0 * xi, mask, self.iteration_max)
+                        a0, sampled, k_a0 = _kp_sample_a0(
+                            k_a0, 2.0 * xi, mask, self.iteration_max
+                        )
                         r = jnp.sqrt(jnp.maximum(0.0, 1.0 - a0 * a0))
                         d1, d2, d3 = _random_unit3(k_dir, a0.shape, a0.dtype)
                         # A = W X as 2x2 matrices (W from KP, X = S-projection)
                         v_w = _su2_from_quat(a0, r * d1, r * d2, r * d3, u.dtype)
                         v_x = _su2_from_quat(xh[0], xh[1], xh[2], xh[3], u.dtype)
                         v2 = sun.mul(v_w, v_x)
-                    u_mu = _embed_apply(u_mu, v2, i, j, mask)
+                    # KP-exhausted sites keep their old link (lazy Gibbs
+                    # step, unbiased) instead of a forced a0
+                    upd_mask = mask if or_mode else jnp.logical_and(mask, sampled)
+                    u_mu = _embed_apply(u_mu, v2, i, j, upd_mask)
                 u = u.at[mu].set(u_mu)
                 return (u, key)
 

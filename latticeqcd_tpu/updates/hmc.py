@@ -67,6 +67,14 @@ class HMC:
     # ---------------------------------------------------------------- step
     def step(self, u: jnp.ndarray, key: jnp.ndarray):
         """One HMC trajectory: (U, key) -> (U', key', stats)."""
+        # validate identically on BOTH paths so a config never behaves
+        # differently on CPU (fused) vs TPU (staged)
+        if self.md_steps < 1:
+            raise ValueError(f"MDsteps must be >= 1, got {self.md_steps}")
+        if self.sexton_weingarten and self.quench:
+            raise ValueError(
+                "The quench update does not need the SextonWeingarten method"
+            )
         if self._use_staged():
             return self._step_staged(u, key)
         return self._step_fused(u, key)

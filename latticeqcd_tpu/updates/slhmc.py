@@ -113,6 +113,11 @@ class SLMCLearner:
     """Least-squares fit S_true ~= const + beta_eff . l over the chain
     history (the SLMC_data/show_effbeta bookkeeping, mainrun.jl:590-604)."""
 
+    # the refit is O(n * nbasis^2) per trajectory; an unbounded history
+    # would make a long chain's host cost grow quadratically, and old
+    # equilibration-era samples only dilute the fit anyway
+    MAX_HISTORY = 8192
+
     def __init__(self, nbasis: int):
         self.nbasis = nbasis
         self.feats: list = []
@@ -121,6 +126,9 @@ class SLMCLearner:
     def record(self, feats, target) -> None:
         self.feats.append(np.asarray(feats, dtype=np.float64))
         self.targets.append(float(target))
+        if len(self.targets) > self.MAX_HISTORY:
+            del self.feats[0]
+            del self.targets[0]
 
     def fit(self) -> Optional[np.ndarray]:
         """Returns beta_eff (nbasis,) or None if underdetermined/sick

@@ -231,3 +231,25 @@ def test_wilson_schur_solve_dinv(u):
     x = _solve_dinv(d, u, b, 1e-24, 2000)
     rel = float(jnp.linalg.norm(d.apply(u, x) - b) / jnp.linalg.norm(b))
     assert rel < 1e-9
+
+
+def test_bicgstab_breakdown_guard():
+    """A = I converges at the alpha half-step (s = 0 exactly): the
+    omega = <t,s>/<t,t> 0/0 must not poison x with NaN."""
+    b = jnp.asarray(np.random.default_rng(1).normal(size=(64,))
+                    + 1j * np.random.default_rng(2).normal(size=(64,)))
+    x, it, rsq = solvers.bicgstab(lambda v: v, b, eps=1e-22)
+    assert bool(jnp.all(jnp.isfinite(jnp.abs(x))))
+    assert float(jnp.max(jnp.abs(x - b))) < 1e-12
+
+
+def test_cg_eps_clamped_for_complex64():
+    """An f64-tuned eps (1e-19) must not make complex64 solves spin to
+    maxiter on stagnated iterations (VERDICT-r2 review finding)."""
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(32, 32))
+    a = jnp.asarray(m @ m.T + 32 * np.eye(32), dtype=jnp.float32)
+    b = jnp.asarray(rng.normal(size=(32,)), dtype=jnp.float32)
+    x, it, rsq = solvers.cg(lambda v: a @ v, b, eps=1e-19, maxiter=3000)
+    assert int(it) < 200, int(it)
+    assert float(jnp.max(jnp.abs(a @ x - b))) < 1e-3
