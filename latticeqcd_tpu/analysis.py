@@ -54,3 +54,40 @@ def jackknife(samples, fn=np.mean, nblocks: int = 10):
     mean = float(np.mean(estimates))
     err = float(np.sqrt((nblocks - 1) * np.mean((estimates - mean) ** 2)))
     return mean, err
+
+
+def main(argv=None):
+    """CLI: python -m latticeqcd_tpu.analysis <measuredir> [skip]
+
+    Prints mean +- jackknife error for every measurement series in the
+    directory (the reference's analysis_sample.jl workflow,
+    src/analyze.jl counterpart).
+    """
+    import os
+    import sys
+
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print("usage: python -m latticeqcd_tpu.analysis <measuredir> [skip]")
+        return 2
+    measuredir = argv[0]
+    skip = int(argv[1]) if len(argv) > 1 else 0
+    for fn in sorted(os.listdir(measuredir)):
+        if not fn.endswith(".txt"):
+            continue
+        path = os.path.join(measuredir, fn)
+        itrj, vals = read_measurement_series(path)
+        if len(itrj) <= skip:
+            print(f"{fn:32s} ({len(itrj)} rows, skipped)")
+            continue
+        v = vals[skip:, 0]
+        if len(v) >= 20:
+            mean, err = jackknife(v)
+            print(f"{fn:32s} {mean:+.8f} +- {err:.8f}  (n={len(v)})")
+        else:
+            print(f"{fn:32s} {float(np.mean(v)):+.8f} +- {float(np.std(v)):.8f}  (n={len(v)}, naive)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
