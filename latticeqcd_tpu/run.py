@@ -14,12 +14,13 @@ def main(argv=None):
     if len(argv) < 1:
         print(
             "usage: python -m latticeqcd_tpu.run <parameters.toml> [--f64|--f32]"
-            " [--resume checkpoint.npz] [--profile tracedir]"
+            " [--cpu] [--resume checkpoint.npz] [--profile tracedir]"
         )
         return 2
     dtype_flag = "--f64"
     resume = None
     profile_dir = None
+    force_cpu = False
     args = []
     it = iter(argv)
     for a in it:
@@ -31,6 +32,10 @@ def main(argv=None):
             dtype_flag = "--f32"
         elif a == "--f64":
             dtype_flag = "--f64"
+        elif a == "--cpu":
+            # escape hatch for hosts whose sitecustomize pins a remote
+            # TPU plugin (the tunnel flaps; CLAUDE.md): run on host CPU
+            force_cpu = True
         elif a.startswith("--"):
             print(f"unknown flag {a!r}")
             return 2
@@ -39,6 +44,8 @@ def main(argv=None):
 
     import jax
 
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.latticeqcd_tpu_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -79,6 +79,53 @@ def bench_staggered_matvec():
     print(f"staggered_w_packed_us {dt*1e6:.1f}", flush=True)
 
 
+def bench_batched_solve_ops(nrhs=12):
+    """Multi-RHS Schur operators (the solvers.cg_multi hot mat-vecs
+    behind the batched pion-correlator / pbp measurement solves).
+
+    The HBM-bound single-RHS applies are dominated by the link stream
+    (PERF.md roofline); vmapping nrhs RHS through one program reads the
+    links once per batch, so the per-RHS time should fall well below
+    the single-RHS numbers above (26 us packed-W, 95 us D-slash)."""
+    u = apply_boundary_phases(fields.hot_start(LAT, 3, seed=0, dtype=jnp.complex64))
+    red = jax.jit(lambda pp: jnp.real(jnp.vdot(pp, pp)))
+
+    # staggered packed W, nrhs right-hand sides
+    d = StaggeredDirac(mass=0.5, lattice=LAT)
+    ueo = d.packed_links(u)
+    ve = d.pack(
+        gaussian_spinor(jax.random.PRNGKey(1), LAT, 3, nspin=1, dtype=jnp.complex64), 0
+    )
+    coefs = (1.0 + jnp.arange(nrhs, dtype=jnp.float32) / nrhs).reshape(
+        (-1,) + (1,) * ve.ndim
+    )
+    vs = coefs * ve[None]
+    f = jax.jit(jax.vmap(lambda v: d.apply_w_packed(ueo, v)))
+    dt = _per_iter(f, red, vs, n0=5, n1=35)
+    print(f"staggered_w_batched{nrhs}_us {dt*1e6:.1f}", flush=True)
+    print(f"staggered_w_batched{nrhs}_us_per_rhs {dt*1e6/nrhs:.1f}", flush=True)
+
+    # Wilson eo-Schur normal operator Dhat^dag Dhat, nrhs RHS
+    from latticeqcd_tpu.ops.dirac import eo_pack
+
+    dw = WilsonDirac(kappa=0.141139)
+    ueow = dw.packed_links(u)
+    we = eo_pack.pack(
+        gaussian_spinor(jax.random.PRNGKey(2), LAT, 3, nspin=4, dtype=jnp.complex64),
+        LAT, 0,
+    )
+    coefs = (1.0 + jnp.arange(nrhs, dtype=jnp.float32) / nrhs).reshape(
+        (-1,) + (1,) * we.ndim
+    )
+    ws = coefs * we[None]
+    fw = jax.jit(
+        jax.vmap(lambda v: dw.apply_dhat_dagger(ueow, dw.apply_dhat(ueow, v)))
+    )
+    dt = _per_iter(fw, red, ws, n0=5, n1=35)
+    print(f"wilson_dhat_ddag_batched{nrhs}_us {dt*1e6:.1f}", flush=True)
+    print(f"wilson_dhat_ddag_batched{nrhs}_us_per_rhs {dt*1e6/nrhs:.1f}", flush=True)
+
+
 def _traj_time(hmc, u, n):
     """n trajectories; the per-trajectory bool()/float() fetches in the
     staged stats dict (or the scalar fetch below on the fused path)
@@ -125,6 +172,8 @@ if __name__ == "__main__":
         bench_matvec()
     if which in ("all", "staggered_matvec", "matvec2"):
         bench_staggered_matvec()
+    if which in ("all", "batched"):
+        bench_batched_solve_ops()
     if which in ("all", "quenched"):
         bench_quenched_traj()
     if which in ("all", "staggered"):

@@ -253,3 +253,41 @@ def test_cg_eps_clamped_for_complex64():
     x, it, rsq = solvers.cg(lambda v: a @ v, b, eps=1e-19, maxiter=3000)
     assert int(it) < 200, int(it)
     assert float(jnp.max(jnp.abs(a @ x - b))) < 1e-3
+
+
+def test_cg_multi_matches_sequential_cg():
+    """Batched multi-RHS CG = n independent CG solves: each RHS gets
+    its own alpha/beta, and early-converging systems freeze without
+    disturbing the still-active ones (widely spread conditioning)."""
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(48, 48))
+    a = jnp.asarray(m @ m.T + 48 * np.eye(48))
+    # scale RHS over 6 orders of magnitude so convergence iterations differ
+    b = jnp.asarray(rng.normal(size=(4, 48)) * np.array([1.0, 1e-3, 1e3, 1e-6])[:, None])
+    xs, it, rsq = solvers.cg_multi(jax.vmap(lambda v: a @ v), b, eps=1e-24, maxiter=500)
+    for i in range(4):
+        xi, _, _ = solvers.cg(lambda v: a @ v, b[i], eps=1e-24, maxiter=500)
+        np.testing.assert_allclose(np.asarray(xs[i]), np.asarray(xi), rtol=1e-8, atol=1e-12)
+        # stopping rule is |r|^2 < eps * max(|b|^2, 1)
+        resid = float(jnp.linalg.norm(a @ xs[i] - b[i]))
+        bound = float(jnp.sqrt(1e-24 * jnp.maximum(jnp.vdot(b[i], b[i]).real, 1.0)))
+        assert resid < 10 * bound
+
+
+def test_solve_dinv_multi_matches_single(u):
+    """The batched measurement solve (pion-correlator hot path) agrees
+    with per-RHS solves for both the staggered and Wilson Schur paths."""
+    from latticeqcd_tpu.measurements.fermionic import _solve_dinv, _solve_dinv_multi
+
+    key = jax.random.PRNGKey(21)
+    for d, shape in (
+        (StaggeredDirac(mass=0.5, lattice=LAT), LAT + (3,)),
+        (WilsonDirac(kappa=0.141139), LAT + (4, 3)),
+    ):
+        key, sub = jax.random.split(key)
+        b = jax.random.normal(sub, (3,) + shape + (2,))
+        b = (b[..., 0] + 1j * b[..., 1]).astype(jnp.complex128)
+        xs = _solve_dinv_multi(d, u, b, 1e-22, 1000)
+        for i in range(3):
+            xi = _solve_dinv(d, u, b[i], 1e-22, 1000)
+            np.testing.assert_allclose(np.asarray(xs[i]), np.asarray(xi), rtol=1e-7, atol=1e-10)
