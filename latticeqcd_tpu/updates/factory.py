@@ -18,6 +18,20 @@ from latticeqcd_tpu.updates.slhmc import (
 )
 
 
+def _md_scheme(p) -> str:
+    """Integrator selection: the reference's QPQ bool
+    (parameters_TOML.jl:230-277), or the explicit MDscheme extension
+    ("QPQ" | "PQP" | "Omelyan", system/params.py)."""
+    if getattr(p, "MDscheme", ""):
+        scheme = str(p.MDscheme)
+        if scheme not in ("QPQ", "PQP", "Omelyan"):
+            raise ValueError(
+                f"MDscheme must be 'QPQ', 'PQP' or 'Omelyan', got {scheme!r}"
+            )
+        return scheme
+    return "QPQ" if p.QPQ else "PQP"
+
+
 def updatemethod(p, univ):
     method = p.update_method
     if method == "HMC":
@@ -25,9 +39,10 @@ def updatemethod(p, univ):
             action=univ.gauge_action,
             dtau=p.dtau,
             md_steps=p.MDsteps,
-            scheme="QPQ" if p.QPQ else "PQP",
+            scheme=_md_scheme(p),
             sexton_weingarten=p.SextonWeingargten,
             nsw=p.N_SextonWeingargten,
+            omelyan_lambda=p.omelyan_lambda,
             fermi_action=None if univ.quench else univ.fermi_action,
             smearing=univ.cov_neural_net,
         )
@@ -55,7 +70,7 @@ def updatemethod(p, univ):
             firstlearn=p.firstlearn,
             couplinglist=tuple(p.couplinglist) if p.couplinglist else ("plaquette",),
             lattice=p.L,
-            scheme="QPQ" if p.QPQ else "PQP",
+            scheme=_md_scheme(p),
         )
     if method == "SLMC":
         if not univ.quench:
@@ -81,7 +96,7 @@ def updatemethod(p, univ):
             dtau=p.dtau,
             md_steps=p.MDsteps,
             fermi_logdet=_exact_logdet(p, univ),
-            scheme="QPQ" if p.QPQ else "PQP",
+            scheme=_md_scheme(p),
         )
     if method == "IntegratedHB":
         # legacy integrated-fermion heatbath (mainrun.jl:550-577)

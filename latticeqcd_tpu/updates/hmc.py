@@ -44,6 +44,10 @@ class HMC:
     scheme: str = "QPQ"
     sexton_weingarten: bool = False
     nsw: int = 2
+    # Omelyan 2MN coefficient; the error-optimal value is system- and
+    # coupling-dependent (md/integrators.OMELYAN_2MN_LAMBDA is the
+    # minimum-norm literature default, hep-lat/0505020)
+    omelyan_lambda: float = integrators.OMELYAN_2MN_LAMBDA
     fermi_action: Optional[Any] = None
     smearing: Optional[Any] = None
     staged: Optional[bool] = None  # None = auto (staged off-CPU dynamical)
@@ -150,11 +154,13 @@ class HMC:
         s_old = sp_old + sg_old + s_f_old
 
         dtau = self.dtau
-        if self.scheme not in ("QPQ", "PQP"):
+        if self.scheme not in ("QPQ", "PQP", "Omelyan"):
             raise ValueError(f"unknown MD scheme {self.scheme!r}")
-        if self.scheme == "PQP" and self.sexton_weingarten and not self.quench:
+        if self.scheme != "QPQ" and self.sexton_weingarten and not self.quench:
             # mirror integrators.run_md / the reference factory
-            raise ValueError("PQP update with SextonWeingarten is not supported")
+            raise ValueError(
+                f"{self.scheme} update with SextonWeingarten is not supported"
+            )
         # chronological inverter: warm-start each force CG from the
         # previous MD step's solution when the action supports it
         force_g = getattr(fa, "force_with_guess", None) if not self.quench else None
@@ -187,7 +193,7 @@ class HMC:
                 if not self.quench:
                     h = fermion_kick(u, h, dtau)
             u = self._u_update_jit(u, h, 0.5 * dtau)
-        else:
+        elif self.scheme == "PQP":
             # PQP with adjacent half-kicks merged across MD steps:
             # kick(1/2) ([u(1);kick(1)] CG)^(N-1) [u(1);kick(1/2)] CG
             # (runMD_PQP!, standardMD.jl:170-190)
@@ -199,6 +205,25 @@ class HMC:
                 u, h = self._uk_update_jit(u, h, dtau, eps_h)
                 if not self.quench:
                     h = fermion_kick(u, h, eps_h)
+        else:
+            # Omelyan 2MN (integrators.omelyan_pqp), adjacent lam-kicks
+            # merged across MD steps:
+            # kick(lam) ([u(1/2);kick(1-2lam)] CG [u(1/2);kick(c)] CG)^N
+            # with c = 2 lam except lam on the final step
+            lam = self.omelyan_lambda
+            h = self._gauge_kick_jit(u, h, lam * dtau)
+            if not self.quench:
+                h = fermion_kick(u, h, lam * dtau)
+            for i in range(self.md_steps):
+                u, h = self._uk_update_jit(
+                    u, h, 0.5 * dtau, (1.0 - 2.0 * lam) * dtau
+                )
+                if not self.quench:
+                    h = fermion_kick(u, h, (1.0 - 2.0 * lam) * dtau)
+                c = lam if i == self.md_steps - 1 else 2.0 * lam
+                u, h = self._uk_update_jit(u, h, 0.5 * dtau, c * dtau)
+                if not self.quench:
+                    h = fermion_kick(u, h, c * dtau)
 
         s_f_new = 0.0
         if not self.quench:
@@ -257,6 +282,7 @@ class HMC:
             scheme=self.scheme,
             sexton_weingarten=self.sexton_weingarten,
             nsw=self.nsw,
+            omelyan_lambda=self.omelyan_lambda,
         )
 
         sp_new = sun.kinetic_energy(h_new)

@@ -88,3 +88,32 @@ def test_staged_sexton_weingarten():
     u2, _, st2 = staged.step(u, key)
     assert abs(float(st1["dH"]) - float(st2["dH"])) < 1e-7
     assert bool(st1["accepted"]) == bool(st2["accepted"])
+
+
+def test_staged_matches_fused_omelyan_quenched():
+    u = fields.hot_start(LAT, 3, seed=96)
+    act = ga.wilson_gauge_action(3, 5.7)
+    key = jax.random.PRNGKey(8)
+    fused = HMC(action=act, dtau=0.05, md_steps=6, scheme="Omelyan", staged=False)
+    staged = HMC(action=act, dtau=0.05, md_steps=6, scheme="Omelyan", staged=True)
+    u1, _, st1 = fused.step(u, key)
+    u2, _, st2 = staged.step(u, key)
+    assert abs(float(st1["dH"]) - float(st2["dH"])) < 1e-9
+    assert bool(st1["accepted"]) == bool(st2["accepted"])
+    assert float(jnp.max(jnp.abs(u1 - u2))) < 1e-10
+
+
+@pytest.mark.slow
+def test_staged_matches_fused_omelyan_dynamical():
+    u = fields.hot_start(LAT, 3, seed=97)
+    fa = StaggeredFermiAction(StaggeredDirac(mass=0.5, lattice=LAT), nf=4, eps_cg=1e-20)
+    act = ga.wilson_gauge_action(3, 5.7)
+    key = jax.random.PRNGKey(9)
+    fused = HMC(action=act, dtau=0.05, md_steps=3, scheme="Omelyan",
+                fermi_action=fa, staged=False)
+    staged = HMC(action=act, dtau=0.05, md_steps=3, scheme="Omelyan",
+                 fermi_action=fa, staged=True)
+    u1, _, st1 = fused.step(u, key)
+    u2, _, st2 = staged.step(u, key)
+    assert abs(float(st1["dH"]) - float(st2["dH"])) < 1e-7
+    assert bool(st1["accepted"]) == bool(st2["accepted"])
