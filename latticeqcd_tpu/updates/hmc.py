@@ -309,6 +309,32 @@ class HMC:
         }
         return u_out, key, stats
 
+    # ------------------------------------------- batched independent chains
+    @partial(jax.jit, static_argnums=0)
+    def _step_batched_jit(self, us, keys):
+        return jax.vmap(self._step_fused)(us, keys)
+
+    def step_batched(self, us: jnp.ndarray, keys: jnp.ndarray):
+        """N independent Markov chains per device as ONE program:
+        us[n, 4, X, Y, Z, T, NC, NC], keys[n, 2] -> (us', keys', stats
+        with a leading chain axis).
+
+        A TPU-native capability with no reference counterpart: at small
+        volume (the reference's 4^4 headline benchmark) a single
+        trajectory cannot fill the chip and — on a remote backend —
+        pays per-program dispatch latency, so batching chains multiplies
+        ensemble throughput (configs/hour) at nearly constant
+        wall-clock per step. Uses the fused path: the vmapped CG
+        while_loops sit at program top level (not inside lax loop
+        bodies), which the axon runtime supports. Chains are
+        statistically independent given independent keys; each carries
+        its own momenta, pseudofermions and Metropolis decision."""
+        if us.ndim != 8:
+            raise ValueError(
+                f"us must be [nchain, 4, X, Y, Z, T, NC, NC], got shape {us.shape}"
+            )
+        return self._step_batched_jit(us, keys)
+
     # ------------------------------------------------------------- helpers
     def _smear(self, u):
         if self.smearing is None:

@@ -166,6 +166,44 @@ def bench_staggered_traj():
     print(f"staggered_nf4_hmc_traj_per_hour {3600/dt:.0f}", flush=True)
 
 
+def bench_multichain(nchain=4, lat=None):
+    """Ensemble throughput: nchain independent quenched chains vmapped
+    through HMC.step_batched (one program). Reported per chain — at
+    volumes that underfill the chip (or pay remote dispatch latency,
+    e.g. the reference's 4^4 headline benchmark) this multiplies
+    configs/hour at nearly constant wall-clock per step."""
+    import jax.numpy as jnp
+
+    lat = lat or LAT
+    hmc = HMC(action=ga.wilson_gauge_action(3, 6.0), dtau=0.05, md_steps=20,
+              staged=False)
+    us = jnp.stack(
+        [fields.hot_start(lat, 3, seed=s, dtype=jnp.complex64) for s in range(nchain)]
+    )
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(nchain))
+    t_single = None
+    u1 = us[0]
+    k1 = jax.random.PRNGKey(0)
+    u1, k1, st = hmc.step(u1, k1)
+    _ = float(st["plaq"])  # compile + sync single
+    t0 = time.time()
+    for _ in range(3):
+        u1, k1, st = hmc.step(u1, k1)
+        _ = float(st["plaq"])
+    t_single = (time.time() - t0) / 3
+    us, keys, stats = hmc.step_batched(us, keys)
+    _ = float(stats["plaq"][0])  # compile + sync batched
+    t0 = time.time()
+    for _ in range(3):
+        us, keys, stats = hmc.step_batched(us, keys)
+        _ = float(stats["plaq"][0])
+    t_batch = (time.time() - t0) / 3
+    name = "x".join(str(x) for x in lat)
+    print(f"multichain{nchain}_{name}_traj_s_per_chain {t_batch/nchain:.4f}", flush=True)
+    print(f"multichain{nchain}_{name}_speedup_vs_serial {t_single*nchain/t_batch:.2f}",
+          flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "matvec"):
@@ -178,3 +216,7 @@ if __name__ == "__main__":
         bench_quenched_traj()
     if which in ("all", "staggered"):
         bench_staggered_traj()
+    if which in ("all", "multichain"):
+        bench_multichain(nchain=4)
+    if which == "multichain4x4":
+        bench_multichain(nchain=32, lat=(4, 4, 4, 4))

@@ -181,3 +181,43 @@ def test_mdscheme_toml_plumbs_to_updater():
     )
     with pytest.raises(ValueError, match="MDscheme"):
         _md_scheme(p3)
+
+
+def test_step_batched_matches_per_chain():
+    """step_batched = vmap of the fused trajectory: each chain evolves
+    exactly as it would alone with the same key."""
+    u1, act = _setup(seed=31)
+    u2, _ = _setup(seed=32)
+    us = jnp.stack([u1, u2])
+    keys = jnp.stack([jax.random.PRNGKey(41), jax.random.PRNGKey(42)])
+    hmc = HMC(action=act, dtau=0.05, md_steps=4, staged=False)
+    us_out, keys_out, stats = hmc.step_batched(us, keys)
+    assert stats["dH"].shape == (2,)
+    for i, (ui, ki) in enumerate(((u1, keys[0]), (u2, keys[1]))):
+        uo, ko, st = hmc.step(ui, ki)
+        assert abs(float(st["dH"]) - float(stats["dH"][i])) < 1e-10
+        assert bool(st["accepted"]) == bool(stats["accepted"][i])
+        assert float(jnp.max(jnp.abs(uo - us_out[i]))) < 1e-12
+    with pytest.raises(ValueError, match="nchain"):
+        hmc.step_batched(u1, keys)
+
+
+def test_step_batched_dynamical():
+    """Batched chains with a fermion action: the vmapped CG while_loop
+    sits at program top level; dH finite and chain-independent."""
+    from latticeqcd_tpu.ops.dirac.staggered import StaggeredDirac
+    from latticeqcd_tpu.ops.fermion_action import StaggeredFermiAction
+
+    u1, act = _setup(seed=33)
+    u2, _ = _setup(seed=34)
+    fa = StaggeredFermiAction(
+        StaggeredDirac(mass=0.5, lattice=LAT), nf=4, eps_cg=1e-18, max_cg=500
+    )
+    hmc = HMC(action=act, dtau=0.05, md_steps=2, fermi_action=fa, staged=False)
+    us_out, _, stats = hmc.step_batched(
+        jnp.stack([u1, u2]),
+        jnp.stack([jax.random.PRNGKey(51), jax.random.PRNGKey(52)]),
+    )
+    assert bool(jnp.all(jnp.isfinite(stats["dH"])))
+    uo, _, st = hmc.step(u1, jax.random.PRNGKey(51))
+    assert abs(float(st["dH"]) - float(stats["dH"][0])) < 1e-8
