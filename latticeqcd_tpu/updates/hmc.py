@@ -156,11 +156,9 @@ class HMC:
         dtau = self.dtau
         if self.scheme not in ("QPQ", "PQP", "Omelyan"):
             raise ValueError(f"unknown MD scheme {self.scheme!r}")
-        if self.scheme != "QPQ" and self.sexton_weingarten and not self.quench:
+        if self.scheme == "PQP" and self.sexton_weingarten and not self.quench:
             # mirror integrators.run_md / the reference factory
-            raise ValueError(
-                f"{self.scheme} update with SextonWeingarten is not supported"
-            )
+            raise ValueError("PQP update with SextonWeingarten is not supported")
         # chronological inverter: warm-start each force CG from the
         # previous MD step's solution when the action supports it
         force_g = getattr(fa, "force_with_guess", None) if not self.quench else None
@@ -175,7 +173,19 @@ class HMC:
                 f = fa.force(u, eta, smear_fn=smear_fn)
             return h + eps * f
 
-        if self.sexton_weingarten and not self.quench:
+        if self.sexton_weingarten and not self.quench and self.scheme == "Omelyan":
+            # multi-timescale Omelyan 2MN (integrators.omelyan_sw):
+            # minimum-norm outer fermion kicks around the nested gauge
+            # sub-segments, adjacent lam-kicks merged across steps
+            lam = self.omelyan_lambda
+            h = fermion_kick(u, h, lam * dtau)
+            for i in range(self.md_steps):
+                u, h = self._gauge_segment_jit(u, h, self.nsw // 2)
+                h = fermion_kick(u, h, (1.0 - 2.0 * lam) * dtau)
+                u, h = self._gauge_segment_jit(u, h, self.nsw // 2)
+                c = lam if i == self.md_steps - 1 else 2.0 * lam
+                h = fermion_kick(u, h, c * dtau)
+        elif self.sexton_weingarten and not self.quench:
             for _ in range(self.md_steps):
                 u, h = self._gauge_segment_jit(u, h, self.nsw // 2)
                 h = fermion_kick(u, h, dtau)

@@ -117,3 +117,26 @@ def test_staged_matches_fused_omelyan_dynamical():
     u2, _, st2 = staged.step(u, key)
     assert abs(float(st1["dH"]) - float(st2["dH"])) < 1e-7
     assert bool(st1["accepted"]) == bool(st2["accepted"])
+
+
+@pytest.mark.slow
+def test_staged_matches_fused_omelyan_sw_dynamical():
+    """Multi-timescale Omelyan (2MN outer fermion kicks, nested gauge
+    leapfrog): staged = fused, and |dH| beats plain SW-QPQ at equal
+    dtau."""
+    u = fields.hot_start(LAT, 3, seed=98)
+    fa = StaggeredFermiAction(StaggeredDirac(mass=0.5, lattice=LAT), nf=4, eps_cg=1e-20)
+    act = ga.wilson_gauge_action(3, 5.7)
+    key = jax.random.PRNGKey(11)
+    kw = dict(action=act, dtau=0.1, md_steps=3, scheme="Omelyan",
+              sexton_weingarten=True, nsw=4, fermi_action=fa)
+    fused = HMC(staged=False, **kw)
+    staged = HMC(staged=True, **kw)
+    u1, _, st1 = fused.step(u, key)
+    u2, _, st2 = staged.step(u, key)
+    assert abs(float(st1["dH"]) - float(st2["dH"])) < 1e-7
+    assert bool(st1["accepted"]) == bool(st2["accepted"])
+    qpq_sw = HMC(staged=False, **{**kw, "scheme": "QPQ"})
+    _, _, st3 = qpq_sw.step(u, key)
+    assert abs(float(st1["dH"])) < abs(float(st3["dH"])), (
+        float(st1["dH"]), float(st3["dH"]))
