@@ -76,6 +76,45 @@ def _solve_dinv_multi(dirac, up, b, eps, maxiter):
         )(x_o)
     if (
         isinstance(dirac, WilsonDirac)
+        and dirac.csw != 0.0
+        and all(l % 2 == 0 for l in up.shape[1:5])
+    ):
+        # Clover even-odd Schur: D = [[A_ee, -kH_eo],[-kH_oe, A_oo]]
+        # with the site-local clover block A = 1 + T, so
+        #   Dhat x_e = (A_ee - k^2 H_eo A_oo^-1 H_oe) x_e
+        #            = b_e + k H_eo A_oo^-1 b_o,
+        #   x_o = A_oo^-1 (b_o + k H_oe x_e);
+        # CG on Dhat^dag Dhat (gamma5-hermitian) at half volume. The
+        # batched 12x12 A_oo inversions amortize over all RHS and
+        # iterations (wilson.py clover_packed_blocks).
+        d = dirac
+        lattice = tuple(up.shape[1:5])
+        from latticeqcd_tpu.ops.dirac import eo_pack
+
+        u_eo = d.packed_links(up)
+        u_e, u_o = u_eo
+        a_e, ainv_o = d.clover_packed_blocks(up)
+        b_e = jax.vmap(lambda f: eo_pack.pack(f, lattice, 0))(b)
+        b_o = jax.vmap(lambda f: eo_pack.pack(f, lattice, 1))(b)
+        hop_eo = jax.vmap(lambda v: d.hop_packed(u_e, u_o, v, target_parity=0))
+        hop_oe = jax.vmap(lambda v: d.hop_packed(u_o, u_e, v, target_parity=1))
+        ainv = jax.vmap(lambda v: d.site_apply(ainv_o, v))
+        dhat_dag = jax.vmap(lambda v: d.apply_dhat_clover_dagger(u_eo, a_e, ainv_o, v))
+        rhs_e = dhat_dag(b_e + d.kappa * hop_eo(ainv(b_o)))
+        x_e, _, _ = solvers.cg_multi(
+            jax.vmap(
+                lambda v: d.apply_dhat_clover_dagger(
+                    u_eo, a_e, ainv_o, d.apply_dhat_clover(u_eo, a_e, ainv_o, v)
+                )
+            ),
+            rhs_e, eps=eps, maxiter=maxiter,
+        )
+        x_o = ainv(b_o + d.kappa * hop_oe(x_e))
+        return jax.vmap(lambda v: eo_pack.unpack(v, lattice, 0))(x_e) + jax.vmap(
+            lambda v: eo_pack.unpack(v, lattice, 1)
+        )(x_o)
+    if (
+        isinstance(dirac, WilsonDirac)
         and dirac.csw == 0.0
         and all(l % 2 == 0 for l in up.shape[1:5])
     ):

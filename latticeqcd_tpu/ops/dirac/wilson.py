@@ -186,6 +186,77 @@ class WilsonDirac:
     def apply_d_ddag(self, u, psi):
         return self.apply(u, self.apply_dagger(u, psi))
 
+    # ------------------------------------------- clover even-odd Schur
+    def clover_site_matrix(self, u):
+        """The parity-diagonal clover block as explicit site matrices:
+        A(x)[s,a,t,b] with A = 1 + T, T psi = -(csw kappa/2)
+        sigma_munu F_munu psi. Site-local (no hops), so even-odd
+        preconditioning factorizes D = [[A_ee, -kH_eo],[-kH_oe, A_oo]]
+        and the measurement solves run on the half-volume Schur
+        complement Dhat = A_ee - k^2 H_eo A_oo^-1 H_oe."""
+        from latticeqcd_tpu.ops import sun
+        from latticeqcd_tpu.ops.wilsonline import evaluate_line, make_cloverloops
+
+        nc = u.shape[-1]
+        sigma = np.zeros((4, 4, 4, 4), dtype=np.complex128)
+        for mu in range(4):
+            for nu in range(4):
+                sigma[mu, nu] = (
+                    (gammas.GAMMA[mu] @ gammas.GAMMA[nu]
+                     - gammas.GAMMA[nu] @ gammas.GAMMA[mu]) / 2.0
+                )
+        t = 0.0
+        for mu in range(4):
+            for nu in range(4):
+                if mu == nu:
+                    continue
+                clov = 0.0
+                for line in make_cloverloops(mu, nu):
+                    clov = clov + evaluate_line(u, line)
+                f = sun.traceless_antihermitian(clov) / 4.0
+                smat = jnp.asarray(sigma[mu, nu], dtype=u.dtype)
+                t = t + jnp.einsum("st,...ab->...satb", smat, f)
+        eye = jnp.eye(4 * nc, dtype=u.dtype).reshape(4, nc, 4, nc)
+        return eye - (self.csw * self.kappa / 2.0) * t
+
+    def clover_packed_blocks(self, up):
+        """(a_e, ainv_o): even-parity clover block and INVERSE odd
+        block, packed (ops/dirac/eo_pack.py layout). The batched 12x12
+        inversions run once per link configuration and are amortized
+        over every CG iteration of every right-hand side."""
+        from latticeqcd_tpu.ops.dirac import eo_pack
+
+        lattice = tuple(up.shape[1:5])
+        a = self.clover_site_matrix(up)
+        a_e = eo_pack.pack(a, lattice, 0)
+        a_o = eo_pack.pack(a, lattice, 1)
+        n = a_o.shape[-3] * a_o.shape[-2]  # 4 * nc
+        ainv_o = jnp.linalg.inv(a_o.reshape(a_o.shape[:-4] + (n, n))).reshape(
+            a_o.shape
+        )
+        return a_e, ainv_o
+
+    @staticmethod
+    def site_apply(a, x):
+        """y[s,a] = A[s,a,t,b] x[t,b] per site."""
+        return jnp.einsum("...satb,...tb->...sa", a, x)
+
+    def apply_dhat_clover(self, u_eo, a_e, ainv_o, x_e):
+        """Dhat x_e = A_ee x_e - k^2 H_eo A_oo^-1 H_oe x_e."""
+        u_e, u_o = u_eo
+        t = self.hop_packed(u_o, u_e, x_e, target_parity=1)
+        t = self.site_apply(ainv_o, t)
+        t = self.hop_packed(u_e, u_o, t, target_parity=0)
+        return self.site_apply(a_e, x_e) - (self.kappa ** 2) * t
+
+    def apply_dhat_clover_dagger(self, u_eo, a_e, ainv_o, x_e):
+        """Dhat^dag = g5 Dhat g5 (clover and hopping are both
+        gamma5-hermitian, so the Schur complement inherits it)."""
+        g5 = jnp.asarray(gammas.GAMMA5, dtype=x_e.dtype)
+        gx = jnp.einsum("st,...tc->...sc", g5, x_e)
+        y = self.apply_dhat_clover(u_eo, a_e, ainv_o, gx)
+        return jnp.einsum("st,...tc->...sc", g5, y)
+
     # ------------------------------------------------------------------
     def _clover_term(self, u, psi):
         """-(csw kappa / 2) sigma_munu F_munu psi with clover-leaf F."""

@@ -291,3 +291,34 @@ def test_solve_dinv_multi_matches_single(u):
         for i in range(3):
             xi = _solve_dinv(d, u, b[i], 1e-22, 1000)
             np.testing.assert_allclose(np.asarray(xs[i]), np.asarray(xi), rtol=1e-7, atol=1e-10)
+
+
+def test_clover_dhat_gamma5_hermiticity(u):
+    """The clover Schur complement inherits gamma5-hermiticity:
+    <phi, Dhat psi> = <g5 Dhat g5 phi, psi>."""
+    from latticeqcd_tpu.ops.dirac import eo_pack
+
+    d = WilsonDirac(kappa=0.141139, csw=1.5612)
+    u_eo = d.packed_links(u)
+    a_e, ainv_o = d.clover_packed_blocks(u)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(13))
+    pe = eo_pack.pack(gaussian_spinor(k1, LAT, 3), LAT, 0)
+    qe = eo_pack.pack(gaussian_spinor(k2, LAT, 3), LAT, 0)
+    lhs = inner(qe, d.apply_dhat_clover(u_eo, a_e, ainv_o, pe))
+    rhs = inner(d.apply_dhat_clover_dagger(u_eo, a_e, ainv_o, qe), pe)
+    assert abs(complex(lhs - rhs)) < 1e-10 * abs(complex(lhs))
+
+
+def test_clover_schur_solve_dinv(u):
+    """The clover even-odd Schur measurement solve returns x with
+    D x = b on the full lattice (D including the clover term)."""
+    from latticeqcd_tpu.measurements.fermionic import _solve_dinv
+
+    d = WilsonDirac(kappa=0.141139, csw=1.5612)
+    key = jax.random.PRNGKey(17)
+    b = jax.random.normal(key, LAT + (4, 3, 2))
+    b = (b[..., 0] + 1j * b[..., 1]).astype(jnp.complex128)
+    x = _solve_dinv(d, u, b, 1e-22, 2000)
+    resid = d.apply(u, x) - b
+    rel = float(jnp.linalg.norm(resid) / jnp.linalg.norm(b))
+    assert rel < 1e-9, rel
