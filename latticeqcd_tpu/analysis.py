@@ -56,6 +56,51 @@ def jackknife(samples, fn=np.mean, nblocks: int = 10):
     return mean, err
 
 
+def autocorrelation(samples, s_tau: float = 1.5):
+    """Wolff Gamma-method integrated autocorrelation time and error.
+
+    Returns (mean, err, tau_int, w_opt): err is the naive standard
+    error inflated by sqrt(2 tau_int), with the summation window W
+    chosen by Wolff's automatic criterion (hep-lat/0306017 eq. 52:
+    the first W where g(W) = exp(-W/tau(W)) - tau(W)/sqrt(W N) < 0,
+    tau(W) from eq. 51 with S = s_tau). tau_int = 0.5 for an
+    uncorrelated series; HMC plaquette series typically give 1-10,
+    and quoting the naive error without this inflation understates
+    the true Monte-Carlo error by sqrt(2 tau_int)."""
+    v = np.asarray(samples, dtype=np.float64)
+    n = len(v)
+    if n < 8:
+        m = float(np.mean(v))
+        return m, float(np.std(v) / np.sqrt(max(n, 1))), 0.5, 0
+    d = v - v.mean()
+    # Gamma(t) via FFT (O(N log N))
+    fft = np.fft.rfft(np.concatenate([d, np.zeros_like(d)]))
+    gamma = np.fft.irfft(fft * np.conj(fft))[: n // 2]
+    gamma /= np.arange(n, n - n // 2, -1)
+    if gamma[0] <= 0:
+        m = float(np.mean(v))
+        return m, 0.0, 0.5, 0
+    rho = gamma / gamma[0]
+    tau = 0.5
+    w_opt = n // 2 - 1
+    for w in range(1, n // 2):
+        tau = 0.5 + np.sum(rho[1 : w + 1])
+        tau_w = max(tau, 1e-10)
+        # S/tau relation inverted for the exponential window estimate
+        tau_exp = max(s_tau * tau_w, 1e-10)
+        g = np.exp(-w / tau_exp) - tau_w / np.sqrt(w * n)
+        if g < 0:
+            w_opt = w
+            break
+    tau_int = float(max(0.5 + np.sum(rho[1 : w_opt + 1]), 0.5))
+    # Wolff bias correction and error of the error window
+    tau_int *= (2.0 * w_opt + 1.0) / (2.0 * w_opt + 1.0 - tau_int * 2.0 / n) \
+        if n > 2 * tau_int else 1.0
+    mean = float(np.mean(v))
+    err = float(np.sqrt(2.0 * tau_int * gamma[0] / n))
+    return mean, err, tau_int, int(w_opt)
+
+
 def main(argv=None):
     """CLI: python -m latticeqcd_tpu.analysis <measuredir> [skip]
 
@@ -83,7 +128,8 @@ def main(argv=None):
         v = vals[skip:, 0]
         if len(v) >= 20:
             mean, err = jackknife(v)
-            print(f"{fn:32s} {mean:+.8f} +- {err:.8f}  (n={len(v)})")
+            _, _, tau, _ = autocorrelation(v)
+            print(f"{fn:32s} {mean:+.8f} +- {err:.8f}  (n={len(v)}, tau_int={tau:.2f})")
         else:
             print(f"{fn:32s} {float(np.mean(v)):+.8f} +- {float(np.std(v)):.8f}  (n={len(v)}, naive)")
     return 0
