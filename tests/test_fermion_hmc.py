@@ -187,3 +187,52 @@ def test_rhmc_spectral_bound_check():
     # the widened action still evaluates (rational rebuilt on new window)
     _, phi = fa3.sample_pseudofermion(u, jax.random.PRNGKey(0))
     assert np.isfinite(float(fa3.action(u, phi)))
+
+
+def test_hasenbusch_sampling_action_consistency():
+    """Hasenbusch split: S1 + S2 right after sampling = |xi1|^2 +
+    |xi2|^2 — validates A_mu A_mu^dag = AA^dag + mu^2 (twisted-g5
+    identity) and the phi2 = A_mu^-dag A xi2 sampling solve, on both
+    the packed-Schur and the full-volume (clover) operator paths."""
+    from latticeqcd_tpu.ops.fermion_action import HasenbuschWilsonFermiAction
+
+    u = _u()
+    for csw in (0.0, 1.5612):
+        fa = HasenbuschWilsonFermiAction(
+            WilsonDirac(kappa=0.141139, csw=csw), mu=0.5, eps_cg=1e-26
+        )
+        s_old, phi = fa.sample_pseudofermion(u, jax.random.PRNGKey(6))
+        s_eval = fa.action(u, phi)
+        assert abs(float(s_old) - float(s_eval)) < 1e-7 * float(s_old), (
+            csw, float(s_old), float(s_eval))
+
+
+def test_hasenbusch_force_finite_difference():
+    from latticeqcd_tpu.ops.fermion_action import HasenbuschWilsonFermiAction
+
+    fa = HasenbuschWilsonFermiAction(
+        WilsonDirac(kappa=0.141139), mu=0.5, eps_cg=1e-24
+    )
+    _fd_check(fa, _u(), jax.random.PRNGKey(7))
+
+
+def test_hasenbusch_hmc_dh_vs_plain():
+    """At the same step size the Hasenbusch-split trajectory conserves
+    H at least as well as the plain 2f action (force-fluctuation
+    reduction), and the update runs end to end on the fused path."""
+    u = _u()
+    act = ga.wilson_gauge_action(3, 5.7)
+    from latticeqcd_tpu.ops.fermion_action import HasenbuschWilsonFermiAction
+
+    key = jax.random.PRNGKey(8)
+    plain = HMC(action=act, dtau=0.1, md_steps=5, staged=False,
+                fermi_action=WilsonFermiAction(WilsonDirac(kappa=0.141139),
+                                               eps_cg=1e-20))
+    hasen = HMC(action=act, dtau=0.1, md_steps=5, staged=False,
+                fermi_action=HasenbuschWilsonFermiAction(
+                    WilsonDirac(kappa=0.141139), mu=0.5, eps_cg=1e-20))
+    _, _, st_p = plain.step(u, key)
+    _, _, st_h = hasen.step(u, key)
+    assert bool(jnp.isfinite(st_h["dH"]))
+    assert abs(float(st_h["dH"])) < 2.0 * abs(float(st_p["dH"])) + 0.05, (
+        float(st_h["dH"]), float(st_p["dH"]))
