@@ -114,6 +114,7 @@ def test_hmc_quenched_su3_reproduces_golden(reference_dir):
     assert n_acc >= 5
 
 
+@pytest.mark.slow
 def test_omelyan_reversibility_and_accuracy():
     """Omelyan 2MN is time-reversible and, at the same dtau, its |dH|
     is far below leapfrog's (the minimum-norm error constant)."""
@@ -183,6 +184,7 @@ def test_mdscheme_toml_plumbs_to_updater():
         _md_scheme(p3)
 
 
+@pytest.mark.slow
 def test_step_batched_matches_per_chain():
     """step_batched = vmap of the fused trajectory: each chain evolves
     exactly as it would alone with the same key."""
@@ -202,6 +204,7 @@ def test_step_batched_matches_per_chain():
         hmc.step_batched(u1, keys)
 
 
+@pytest.mark.slow
 def test_step_batched_dynamical():
     """Batched chains with a fermion action: the vmapped CG while_loop
     sits at program top level; dH finite and chain-independent."""

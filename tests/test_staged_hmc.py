@@ -90,6 +90,7 @@ def test_staged_sexton_weingarten():
     assert bool(st1["accepted"]) == bool(st2["accepted"])
 
 
+@pytest.mark.slow
 def test_staged_matches_fused_omelyan_quenched():
     u = fields.hot_start(LAT, 3, seed=96)
     act = ga.wilson_gauge_action(3, 5.7)
