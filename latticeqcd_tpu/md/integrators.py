@@ -167,10 +167,14 @@ def leapfrog_qpq_sw(
     force_fermion: Callable,
     nsw: int = 2,
     unroll: Optional[bool] = None,
+    force_fine: Optional[Callable] = None,
 ):
     """Sexton-Weingarten multi-timescale QPQ (standardMD.jl:144-167).
 
     nsw must be even (asserted by the reference, standardMD.jl:56).
+    force_fine: optional extra force integrated on the FINE (gauge)
+    timescale — e.g. the heavy term of a Hasenbusch split; it may
+    contain a solver, so the fine loop unrolls when it is given.
     """
     if nsw % 2 != 0:
         raise ValueError(f"Nsw must be even, got {nsw}")
@@ -181,10 +185,17 @@ def leapfrog_qpq_sw(
         def inner(_, c):
             u, h = c
             u = update_links(u, h, 0.5 * dtau / nsw)
-            h = h + (dtau / nsw) * force_gauge(u)
+            f = force_gauge(u)
+            if force_fine is not None:
+                f = f + force_fine(u)
+            h = h + (dtau / nsw) * f
             u = update_links(u, h, 0.5 * dtau / nsw)
             return (u, h)
 
+        if force_fine is not None:
+            for _ in range(nsw // 2):
+                carry = inner(0, carry)
+            return carry
         return jax.lax.fori_loop(0, nsw // 2, inner, carry)
 
     def body(_, carry):
@@ -207,6 +218,7 @@ def omelyan_sw(
     nsw: int = 2,
     lam: float = OMELYAN_2MN_LAMBDA,
     unroll: Optional[bool] = None,
+    force_fine: Optional[Callable] = None,
 ):
     """Multi-timescale Omelyan 2MN: the 2MN scheme on the fermion
     (outer) timescale with the link drift replaced by nested gauge
@@ -220,7 +232,8 @@ def omelyan_sw(
     gauge-leapfrog. The expensive fermion force (a CG solve) is
     evaluated twice per step while the cheap gauge force runs on the
     fine scale — the standard production setup for dynamical HMC.
-    nsw must be even (mirrors the reference's assertion)."""
+    force_fine: optional extra fine-scale force (Hasenbusch heavy
+    term). nsw must be even (mirrors the reference's assertion)."""
     if nsw % 2 != 0:
         raise ValueError(f"Nsw must be even, got {nsw}")
     if unroll is None:
@@ -233,10 +246,17 @@ def omelyan_sw(
         def inner(_, c):
             u, h = c
             u = update_links(u, h, 0.5 * eps)
-            h = h + eps * force_gauge(u)
+            f = force_gauge(u)
+            if force_fine is not None:
+                f = f + force_fine(u)
+            h = h + eps * f
             u = update_links(u, h, 0.5 * eps)
             return (u, h)
 
+        if force_fine is not None:
+            for _ in range(nsw // 2):
+                carry = inner(0, carry)
+            return carry
         return jax.lax.fori_loop(0, nsw // 2, inner, carry)
 
     h = h + lam * dtau * force_fermion(u)
@@ -269,8 +289,11 @@ def run_md(
     nsw: int = 2,
     unroll=None,
     omelyan_lambda: float = OMELYAN_2MN_LAMBDA,
+    force_fine=None,
 ):
-    """Dispatch mirroring runMD! (standardMD.jl:103-124)."""
+    """Dispatch mirroring runMD! (standardMD.jl:103-124). force_fine
+    is only meaningful with sexton_weingarten (fine-scale extra force,
+    e.g. the Hasenbusch heavy term)."""
     if scheme == "QPQ":
         if sexton_weingarten:
             if force_fermion is None:
@@ -278,7 +301,8 @@ def run_md(
                     "The quench update does not need the SextonWeingarten method"
                 )
             return leapfrog_qpq_sw(
-                u, h, force_gauge, dtau, md_steps, force_fermion, nsw, unroll=unroll
+                u, h, force_gauge, dtau, md_steps, force_fermion, nsw,
+                unroll=unroll, force_fine=force_fine,
             )
         return leapfrog_qpq(u, h, force_gauge, dtau, md_steps, force_fermion, unroll=unroll)
     if scheme == "PQP":
@@ -294,6 +318,7 @@ def run_md(
             return omelyan_sw(
                 u, h, force_gauge, dtau, md_steps, force_fermion,
                 nsw=nsw, lam=omelyan_lambda, unroll=unroll,
+                force_fine=force_fine,
             )
         return omelyan_pqp(
             u, h, force_gauge, dtau, md_steps, force_fermion,

@@ -302,6 +302,55 @@ class HasenbuschWilsonFermiAction:
         g = jax.grad(c)(u)
         return _project_force(u, g)
 
+    # -------------------------------------------- per-term forces (SW split)
+    @partial(jax.jit, static_argnums=(0, 3))
+    def force_heavy(self, u, phi, smear_fn=None):
+        """Force of S1 alone (heavy term, cheap well-conditioned CG) —
+        for the FINE timescale of a Sexton-Weingarten split."""
+        us = smear_fn(u) if smear_fn is not None else u
+        up = self._phased(us)
+        phi1, _ = phi
+        packed = self._is_packed(up, phi1)
+        a, adag = self._ops(up, packed)
+        x1, _, _ = solvers.cg(
+            lambda v: a(adag(v)) + (self.mu ** 2) * v, phi1,
+            eps=self.eps_cg, maxiter=self.max_cg,
+        )
+        x1 = jax.lax.stop_gradient(x1)
+
+        def c(uu):
+            uus = smear_fn(uu) if smear_fn is not None else uu
+            uup = apply_boundary_phases(uus, self.dirac.bc)
+            aa, aadag = self._ops(uup, packed)
+            return jnp.real(inner(x1, aa(aadag(x1))))
+
+        return _project_force(u, jax.grad(c)(u))
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def force_light(self, u, phi, smear_fn=None):
+        """Force of S2 alone (ratio term, the expensive light solve) —
+        for the COARSE timescale; its fluctuations are the ones the
+        Hasenbusch split shrinks."""
+        us = smear_fn(u) if smear_fn is not None else u
+        up = self._phased(us)
+        phi1, phi2 = phi
+        packed = self._is_packed(up, phi1)
+        a, adag = self._ops(up, packed)
+        w = self._amu_dag(adag, phi2)
+        x2, _, _ = solvers.cg(
+            lambda v: a(adag(v)), w, eps=self.eps_cg, maxiter=self.max_cg
+        )
+        x2 = jax.lax.stop_gradient(x2)
+
+        def c(uu):
+            uus = smear_fn(uu) if smear_fn is not None else uu
+            uup = apply_boundary_phases(uus, self.dirac.bc)
+            aa, aadag = self._ops(uup, packed)
+            t = jnp.real(inner(x2, aa(aadag(x2))))
+            return t - 2.0 * jnp.real(inner(x2, self._amu_dag(aadag, phi2)))
+
+        return _project_force(u, jax.grad(c)(u))
+
 
 # ---------------------------------------------------------------------------
 # Domain-wall (2 flavor, Pauli-Villars regulated)

@@ -164,14 +164,34 @@ class HMC:
         force_g = getattr(fa, "force_with_guess", None) if not self.quench else None
         x_guess = None
 
+        # Hasenbusch timescale split (staged): outer kicks carry the
+        # light ratio force; the heavy term rides the fine gauge scale
+        split = (
+            self.sexton_weingarten
+            and not self.quench
+            and hasattr(fa, "force_heavy")
+        )
+
         def fermion_kick(u, h, eps):
             nonlocal x_guess
-            if force_g is not None:
+            if split:
+                f = fa.force_light(u, eta, smear_fn=smear_fn)
+            elif force_g is not None:
                 # x_guess None on the first call -> a second jit variant
                 f, x_guess = force_g(u, eta, x_guess, smear_fn=smear_fn)
             else:
                 f = fa.force(u, eta, smear_fn=smear_fn)
             return h + eps * f
+
+        def gauge_segment(u, h, n_sub):
+            if not split:
+                return self._gauge_segment_jit(u, h, n_sub)
+            eps = self.dtau / self.nsw
+            for _ in range(n_sub):
+                u, h = self._uk_update_jit(u, h, 0.5 * eps, eps)
+                h = h + eps * fa.force_heavy(u, eta, smear_fn=smear_fn)
+                u = self._u_update_jit(u, h, 0.5 * eps)
+            return u, h
 
         if self.sexton_weingarten and not self.quench and self.scheme == "Omelyan":
             # multi-timescale Omelyan 2MN (integrators.omelyan_sw):
@@ -180,16 +200,16 @@ class HMC:
             lam = self.omelyan_lambda
             h = fermion_kick(u, h, lam * dtau)
             for i in range(self.md_steps):
-                u, h = self._gauge_segment_jit(u, h, self.nsw // 2)
+                u, h = gauge_segment(u, h, self.nsw // 2)
                 h = fermion_kick(u, h, (1.0 - 2.0 * lam) * dtau)
-                u, h = self._gauge_segment_jit(u, h, self.nsw // 2)
+                u, h = gauge_segment(u, h, self.nsw // 2)
                 c = lam if i == self.md_steps - 1 else 2.0 * lam
                 h = fermion_kick(u, h, c * dtau)
         elif self.sexton_weingarten and not self.quench:
             for _ in range(self.md_steps):
-                u, h = self._gauge_segment_jit(u, h, self.nsw // 2)
+                u, h = gauge_segment(u, h, self.nsw // 2)
                 h = fermion_kick(u, h, dtau)
-                u, h = self._gauge_segment_jit(u, h, self.nsw // 2)
+                u, h = gauge_segment(u, h, self.nsw // 2)
         elif self.scheme == "QPQ":
             # QPQ with adjacent half-steps merged across MD steps:
             # [u(1/2);kick_g] CG  ([u(1);kick_g] CG)^(N-1)  u(1/2)
@@ -269,13 +289,24 @@ class HMC:
         h = sun.random_hermitian_momentum(k_mom, u.shape[:-2], nc, dtype=u.dtype)
 
         force_fermion = None
+        force_fine = None
         s_f_old = 0.0
         eta = None
         if not self.quench:
             us = self._smear(u)
             s_f_old, eta = self.fermi_action.sample_pseudofermion(us, k_ferm)
             smear_fn = self.smearing.smear if self.smearing is not None else None
-            force_fermion = lambda uu: self.fermi_action.force(uu, eta, smear_fn=smear_fn)
+            if self.sexton_weingarten and hasattr(self.fermi_action, "force_heavy"):
+                # Hasenbusch timescale split: heavy (cheap) term on the
+                # fine gauge scale, light (ratio) term on the coarse one
+                force_fermion = lambda uu: self.fermi_action.force_light(
+                    uu, eta, smear_fn=smear_fn
+                )
+                force_fine = lambda uu: self.fermi_action.force_heavy(
+                    uu, eta, smear_fn=smear_fn
+                )
+            else:
+                force_fermion = lambda uu: self.fermi_action.force(uu, eta, smear_fn=smear_fn)
 
         sp_old = sun.kinetic_energy(h)
         sg_old = ga.action_value(self.action, u)
@@ -293,6 +324,7 @@ class HMC:
             sexton_weingarten=self.sexton_weingarten,
             nsw=self.nsw,
             omelyan_lambda=self.omelyan_lambda,
+            force_fine=force_fine,
         )
 
         sp_new = sun.kinetic_energy(h_new)

@@ -189,6 +189,7 @@ def test_rhmc_spectral_bound_check():
     assert np.isfinite(float(fa3.action(u, phi)))
 
 
+@pytest.mark.slow
 def test_hasenbusch_sampling_action_consistency():
     """Hasenbusch split: S1 + S2 right after sampling = |xi1|^2 +
     |xi2|^2 — validates A_mu A_mu^dag = AA^dag + mu^2 (twisted-g5
@@ -216,6 +217,7 @@ def test_hasenbusch_force_finite_difference():
     _fd_check(fa, _u(), jax.random.PRNGKey(7))
 
 
+@pytest.mark.slow
 def test_hasenbusch_hmc_dh_vs_plain():
     """At the same step size the Hasenbusch-split trajectory conserves
     H at least as well as the plain 2f action (force-fluctuation
@@ -236,3 +238,36 @@ def test_hasenbusch_hmc_dh_vs_plain():
     assert bool(jnp.isfinite(st_h["dH"]))
     assert abs(float(st_h["dH"])) < 2.0 * abs(float(st_p["dH"])) + 0.05, (
         float(st_h["dH"]), float(st_p["dH"]))
+
+
+def test_hasenbusch_force_terms_sum_to_total():
+    """force_heavy + force_light == force (the split is exact)."""
+    from latticeqcd_tpu.ops.fermion_action import HasenbuschWilsonFermiAction
+
+    u = _u()
+    fa = HasenbuschWilsonFermiAction(WilsonDirac(kappa=0.141139), mu=0.5, eps_cg=1e-24)
+    _, phi = fa.sample_pseudofermion(u, jax.random.PRNGKey(12))
+    f_tot = fa.force(u, phi)
+    f_sum = fa.force_heavy(u, phi) + fa.force_light(u, phi)
+    assert float(jnp.max(jnp.abs(f_tot - f_sum))) < 1e-9
+
+
+@pytest.mark.slow
+def test_hasenbusch_sw_split_staged_matches_fused():
+    """SW + Hasenbusch: the heavy term integrates on the fine gauge
+    scale (force_fine), light on the coarse; staged = fused."""
+    from latticeqcd_tpu.ops.fermion_action import HasenbuschWilsonFermiAction
+
+    u = _u()
+    act = ga.wilson_gauge_action(3, 5.7)
+    fa = HasenbuschWilsonFermiAction(WilsonDirac(kappa=0.141139), mu=1.0, eps_cg=1e-20)
+    kw = dict(action=act, dtau=0.1, md_steps=2, sexton_weingarten=True,
+              nsw=2, fermi_action=fa)
+    key = jax.random.PRNGKey(13)
+    fused = HMC(staged=False, **kw)
+    staged = HMC(staged=True, **kw)
+    u1, _, st1 = fused.step(u, key)
+    u2, _, st2 = staged.step(u, key)
+    assert bool(jnp.isfinite(st1["dH"]))
+    assert abs(float(st1["dH"]) - float(st2["dH"])) < 1e-7
+    assert bool(st1["accepted"]) == bool(st2["accepted"])
