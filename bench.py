@@ -376,10 +376,26 @@ def main():
         print(json.dumps(_headline(partial, state["last_err"])), flush=True)
 
 
-def _orchestrate(partial: dict, state: dict) -> None:
-    import jax  # backend detection only; tiers run in subprocesses
+def _detect_backend() -> str:
+    """Backend detection in a SUBPROCESS with a timeout: in some outage
+    windows the axon plugin hangs (rather than fails) backend init in
+    whatever process touches it first — observed 2026-08-21, probes
+    stuck >240 s. The main orchestrator process must never block on
+    it, or the deadline SIGTERM is the only thing that ever prints."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            timeout=120, capture_output=True,
+        )
+        if r.returncode == 0 and r.stdout:
+            return r.stdout.decode().strip().splitlines()[-1]
+    except Exception:  # noqa: BLE001
+        pass
+    return "unknown"  # treat as TPU flow: probes + cooldowns handle it
 
-    if jax.default_backend() == "cpu":
+
+def _orchestrate(partial: dict, state: dict) -> None:
+    if _detect_backend() == "cpu":
         # dev box: run tiers inline-ish (still subprocesses for parity)
         for flag, key in (("--tier1", "tier1"), ("--tier2", "tier2")):
             res, err = _run_tier(flag, _remaining())
