@@ -93,9 +93,9 @@ def autocorrelation(samples, s_tau: float = 1.5):
             w_opt = w
             break
     tau_int = float(max(0.5 + np.sum(rho[1 : w_opt + 1]), 0.5))
-    # Wolff bias correction and error of the error window
-    tau_int *= (2.0 * w_opt + 1.0) / (2.0 * w_opt + 1.0 - tau_int * 2.0 / n) \
-        if n > 2 * tau_int else 1.0
+    # Wolff bias correction (hep-lat/0306017 eq. 49 remark: Gamma is
+    # biased low by O(tau/N); correct tau_int by (1 + (2W+1)/N))
+    tau_int *= 1.0 + (2.0 * w_opt + 1.0) / n
     mean = float(np.mean(v))
     err = float(np.sqrt(2.0 * tau_int * gamma[0] / n))
     return mean, err, tau_int, int(w_opt)

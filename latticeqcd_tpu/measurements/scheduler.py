@@ -126,8 +126,13 @@ class WilsonLoopMeasurement(Measurement):
 
     def measure(self, u, itrj, additional_string=""):
         lattice = u.shape[1:5]
-        rmax = int(self.params.get("Rmax", max(1, lattice[0] // 2)))
-        tmax = int(self.params.get("Tmax", max(1, lattice[3] // 2)))
+        # Reference defaults are FIXED Rmax=Tmax=4 (parameter_structs.jl:387-388),
+        # not L/2 (that is only the wizard's prompt suggestion, :562-569);
+        # match them so a TOML without explicit Rmax/Tmax gets identical
+        # Wilson_loop.txt columns (loops wrap via jnp.roll at R >= L,
+        # exactly as the reference's periodic shifts do).
+        rmax = int(self.params.get("Rmax", 4))
+        tmax = int(self.params.get("Tmax", 4))
         lines = []
         vals = np.zeros((rmax, tmax))
         for r in range(1, rmax + 1):

@@ -19,7 +19,13 @@ def _dictcall(*args):
     return dict(zip(args[0::2], args[1::2]))
 
 
+def _undef_dicts(n):
+    """Array{Dict,1}(undef, n) followed by the fill loop -> n fresh dicts."""
+    return [{} for _ in range(int(n))]
+
+
 _REPLACEMENTS = [
+    (re.compile(r"Array\{Dict,\s*1\}\(\s*undef\s*,\s*(\d+)\s*\)"), r"_undef_dicts(\1)"),
     (re.compile(r"Dict\{[^}]*\}\("), "_D("),
     (re.compile(r"\bDict\["), "["),
     (re.compile(r"\bAny\["), "["),
@@ -27,27 +33,51 @@ _REPLACEMENTS = [
     (re.compile(r"\bnothing\b"), "None"),
     (re.compile(r"\btrue\b"), "True"),
     (re.compile(r"\bfalse\b"), "False"),
+    (re.compile(r"÷"), "//"),
 ]
 
 
-def _julia_literal(expr: str):
+def _julia_literal(expr: str, env: Dict[str, Any] = None):
     for pat, rep in _REPLACEMENTS:
         expr = pat.sub(rep, expr)
+    namespace = {"_D": _dictcall, "_undef_dicts": _undef_dicts}
+    if env:
+        namespace.update(env)  # RHS may reference the dicts: 1 / md["MDsteps"]
     return eval(  # noqa: S307 - mirrors the reference's include() of the file
-        compile(expr, "<legacy-jl>", "eval"), {"__builtins__": {}}, {"_D": _dictcall}
+        compile(expr, "<legacy-jl>", "eval"), {"__builtins__": {}}, namespace
     )
 
 
-_ASSIGN = re.compile(r'^(system|actions|md|measurement)\["([^"]+)"\]\s*=\s*(.*)$')
+# All legacy dicts the reference's include() environment provides
+# (transform_oldinputfile.jl:111-118): system, md, actions, cg, wilson,
+# staggered, measurement (+ defaultmeasures).  Optionally one level of
+# 1-based array indexing on the value, as the examples use:
+#     measurement["measurement_methods"][3]["mass"] = 1
+_DICT_NAMES = ("system", "actions", "md", "measurement", "cg", "wilson",
+               "staggered", "defaultmeasures")
+_ASSIGN = re.compile(
+    r'^(system|actions|md|measurement|cg|wilson|staggered|defaultmeasures)'
+    r'\["([^"]+)"\](?:\[(\d+)\]\["([^"]+)"\])?\s*=\s*(.*)$'
+)
 
 
 def parse_legacy_jl(path: str) -> Dict[str, Dict[str, Any]]:
-    """Parse the four legacy dicts from a .jl parameter file."""
+    """Parse the legacy dicts from a .jl parameter file.
+
+    Defaults for the fermion/solver sub-dicts are pre-seeded exactly as
+    the reference's defaults functions do (transform_oldinputfile.jl:
+    default_wilson :92-98, default_staggered :100-104, default_cg
+    :85-90), since old files may rely on them; system/md defaults are
+    left to the Params dataclass downstream."""
     dicts: Dict[str, Dict[str, Any]] = {
         "system": {},
         "actions": {},
         "md": {},
         "measurement": {},
+        "cg": {"eps": 1e-19, "MaxCGstep": 3000},
+        "wilson": {"r": 1, "Clover_coefficient": 1.5612},
+        "staggered": {"Nf": 4},
+        "defaultmeasures": {},
     }
     with open(path) as fp:
         text = fp.read()
@@ -56,18 +86,36 @@ def parse_legacy_jl(path: str) -> Dict[str, Dict[str, Any]]:
     buf = ""
     target = None
     key = None
+    idx = None
+    subkey = None
+    in_block_comment = False
     for line in lines:
+        # Julia block comments #= ... =# (the examples wrap dead config
+        # and digitized reference data in them)
+        if in_block_comment:
+            if "=#" in line:
+                in_block_comment = False
+            continue
+        if not buf and line.lstrip().startswith("#="):
+            if "=#" not in line:
+                in_block_comment = True
+            continue
         line = line.split("#")[0].rstrip() if not buf else line.rstrip()
         if not buf:
             m = _ASSIGN.match(line.strip())
             if not m:
                 continue
-            target, key, rhs = m.group(1), m.group(2), m.group(3)
+            target, key, idx, subkey, rhs = m.groups()
             buf = rhs
         else:
             buf += " " + line.strip()
         if buf.count("(") == buf.count(")") and buf.count("[") == buf.count("]"):
-            dicts[target][key] = _julia_literal(buf)
+            value = _julia_literal(buf.rstrip().rstrip(";"), env=dicts)
+            if idx is not None:
+                # 1-based indexed assignment into an array-of-dicts value
+                dicts[target][key][int(idx) - 1][subkey] = value
+            else:
+                dicts[target][key] = value
             buf = ""
     return dicts
 
@@ -118,6 +166,21 @@ def legacy_jl_to_toml_dict(path: str) -> Dict[str, Any]:
             control[k] = v
     for k, v in md.items():
         hmc[k] = v
+    # fermion/solver sub-dicts (include()-time dicts wilson/staggered/cg,
+    # transform_oldinputfile.jl:116-117,85): fold into the fermion and
+    # HMC sections under the modern key names
+    dirac = fermions.get("Dirac_operator")
+    if dirac in ("Wilson", "WilsonClover"):
+        for k in ("hop", "r", "Clover_coefficient"):
+            if k in d["wilson"]:
+                fermions.setdefault(k, d["wilson"][k])
+    elif dirac == "Staggered":
+        for k in ("mass", "Nf"):
+            if k in d["staggered"]:
+                fermions.setdefault(k, d["staggered"][k])
+    for old, new in (("eps", "eps"), ("MaxCGstep", "MaxCGstep")):
+        if old in d["cg"]:
+            hmc.setdefault(new, d["cg"][old])
     # old files say quench via system["quench"]; Dirac_operator None => quenched
     if fermions.get("Dirac_operator") is None:
         fermions["Dirac_operator"] = "nothing"

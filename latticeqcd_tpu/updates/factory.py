@@ -71,21 +71,20 @@ def updatemethod(p, univ):
             couplinglist=tuple(p.couplinglist) if p.couplinglist else ("plaquette",),
             lattice=p.L,
             scheme=_md_scheme(p),
+            omelyan_lambda=p.omelyan_lambda,
         )
     if method == "SLMC":
-        if not univ.quench:
-            raise ValueError(
-                "SLMC with dynamical fermions needs an exact fermion action; "
-                "construct updates.slhmc.SLMC with fermi_logdet="
-                "dense_logdet_fermi_action(...) directly (small lattices only), "
-                "or use update_method='SLHMC'"
-            )
+        # Dynamical SLMC (the reference's legacy SLMC-with-KS path,
+        # test06_slmc_ks.toml / mainrun.jl:541-548) uses the EXACT
+        # integrated fermion action in the reweighting Metropolis —
+        # dense log det, so small lattices only (_exact_logdet guards).
         return SLMC(
             action=univ.gauge_action,
             beta_eff=p.beta_eff,
             firstlearn=p.firstlearn,
             couplinglist=tuple(p.couplinglist) if p.couplinglist else ("plaquette",),
             lattice=p.L,
+            fermi_logdet=None if univ.quench else _exact_logdet(p, univ),
             iteration_max=p.ITERATION_MAX,
         )
     if method == "IntegratedHMC":
@@ -97,6 +96,7 @@ def updatemethod(p, univ):
             md_steps=p.MDsteps,
             fermi_logdet=_exact_logdet(p, univ),
             scheme=_md_scheme(p),
+            omelyan_lambda=p.omelyan_lambda,
         )
     if method == "IntegratedHB":
         # legacy integrated-fermion heatbath (mainrun.jl:550-577)

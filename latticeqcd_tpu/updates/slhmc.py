@@ -167,7 +167,8 @@ class SLHMC:
                  beta_eff=None, firstlearn: int = 10,
                  couplinglist: Sequence[str] = ("plaquette",),
                  coupling_loops=None, lattice=None,
-                 scheme: str = "QPQ", learn: bool = True):
+                 scheme: str = "QPQ", omelyan_lambda: float | None = None,
+                 learn: bool = True):
         self.action = action
         self.dtau = float(dtau)
         self.md_steps = int(md_steps)
@@ -175,6 +176,10 @@ class SLHMC:
         self.smearing = smearing
         self.firstlearn = int(firstlearn)
         self.scheme = scheme
+        self.omelyan_lambda = (
+            integrators.OMELYAN_2MN_LAMBDA if omelyan_lambda is None
+            else float(omelyan_lambda)
+        )
         self.learn = learn
         self.basis = EffectiveGaugeBasis(
             action.nc, couplinglist, lattice=lattice, coupling_loops=coupling_loops
@@ -203,7 +208,8 @@ class SLHMC:
     def _md(self, u, h, coeffs):
         force_gauge = lambda uu: self.basis.force(uu, coeffs)
         return integrators.run_md(u, h, force_gauge, self.dtau, self.md_steps,
-                                  scheme=self.scheme)
+                                  scheme=self.scheme,
+                                  omelyan_lambda=self.omelyan_lambda)
 
     @partial(jax.jit, static_argnums=0)
     def _energy(self, u, h):
@@ -383,7 +389,8 @@ def dense_logdet_fermi_action(dirac, psi_shape, weight: float, dtype=jnp.complex
 
 
 def integrated_hmc(action: ga.GaugeAction, dtau: float, md_steps: int,
-                   fermi_logdet=None, scheme: str = "QPQ") -> "SLHMC":
+                   fermi_logdet=None, scheme: str = "QPQ",
+                   omelyan_lambda: float | None = None) -> "SLHMC":
     """IntegratedHMC (legacy /root/reference/src/system/mainrun.jl:475-500):
     gauge-only MD, Metropolis on S_g + S_f with the EXACT (integrated)
     fermion action S_f = -log det — i.e. SLHMC with the effective action
@@ -391,7 +398,8 @@ def integrated_hmc(action: ga.GaugeAction, dtau: float, md_steps: int,
     fermion term at the endpoints. fermi_logdet: callable U -> S_f(U)
     (dense_logdet_fermi_action for small lattices); None gives the
     quenched special case."""
-    up = SLHMC(action, dtau, md_steps, scheme=scheme, learn=False)
+    up = SLHMC(action, dtau, md_steps, scheme=scheme,
+               omelyan_lambda=omelyan_lambda, learn=False)
     if fermi_logdet is not None:
         up.fermi_action = _LogdetAsFermiAction(fermi_logdet)
     return up
