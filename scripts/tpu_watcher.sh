@@ -37,6 +37,8 @@ STEPS=(
   "quenched|600|python scripts/perf_16c32.py quenched"
   "stagtraj|900|python scripts/perf_16c32.py staggered"
   "multichain|600|python scripts/perf_16c32.py multichain4x4"
+  "pbp56|3000|python scripts/validation_pbp_beta.py 5.6"
+  "pbp53|3000|python scripts/validation_pbp_beta.py 5.3"
 )
 
 declare -A FAILS
