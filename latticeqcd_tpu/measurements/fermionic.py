@@ -66,8 +66,8 @@ def _solve_dinv_multi(dirac, up, b, eps, maxiter):
         dsl_eo = jax.vmap(lambda v: d._packed_dslash(u_e, u_o, v, target_parity=0))
         dsl_oe = jax.vmap(lambda v: d._packed_dslash(u_o, u_e, v, target_parity=1))
         rhs_e = d.mass * b_e - dsl_eo(b_o)
-        x_e, _, _ = solvers.cg_multi(
-            jax.vmap(lambda v: d.apply_w_packed((u_e, u_o), v)),
+        x_e, _, _ = solvers.cg_multi_auto(
+            lambda v: d.apply_w_packed((u_e, u_o), v),
             rhs_e, eps=eps, maxiter=maxiter,
         )
         x_o = (b_o - dsl_oe(x_e)) / d.mass
@@ -101,11 +101,9 @@ def _solve_dinv_multi(dirac, up, b, eps, maxiter):
         ainv = jax.vmap(lambda v: d.site_apply(ainv_o, v))
         dhat_dag = jax.vmap(lambda v: d.apply_dhat_clover_dagger(u_eo, a_e, ainv_o, v))
         rhs_e = dhat_dag(b_e + d.kappa * hop_eo(ainv(b_o)))
-        x_e, _, _ = solvers.cg_multi(
-            jax.vmap(
-                lambda v: d.apply_dhat_clover_dagger(
-                    u_eo, a_e, ainv_o, d.apply_dhat_clover(u_eo, a_e, ainv_o, v)
-                )
+        x_e, _, _ = solvers.cg_multi_auto(
+            lambda v: d.apply_dhat_clover_dagger(
+                u_eo, a_e, ainv_o, d.apply_dhat_clover(u_eo, a_e, ainv_o, v)
             ),
             rhs_e, eps=eps, maxiter=maxiter,
         )
@@ -134,8 +132,8 @@ def _solve_dinv_multi(dirac, up, b, eps, maxiter):
         hop_oe = jax.vmap(lambda v: d.hop_packed(u_o, u_e, v, target_parity=1))
         dhat_dag = jax.vmap(lambda v: d.apply_dhat_dagger(u_eo, v))
         rhs_e = dhat_dag(b_e + d.kappa * hop_eo(b_o))
-        x_e, _, _ = solvers.cg_multi(
-            jax.vmap(lambda v: d.apply_dhat_dagger(u_eo, d.apply_dhat(u_eo, v))),
+        x_e, _, _ = solvers.cg_multi_auto(
+            lambda v: d.apply_dhat_dagger(u_eo, d.apply_dhat(u_eo, v)),
             rhs_e, eps=eps, maxiter=maxiter,
         )
         x_o = b_o + d.kappa * hop_oe(x_e)
@@ -143,8 +141,8 @@ def _solve_dinv_multi(dirac, up, b, eps, maxiter):
             lambda v: eo_pack.unpack(v, lattice, 1)
         )(x_o)
     rhs = jax.vmap(lambda f: dirac.apply_dagger(up, f))(b)
-    x, it, rsq = solvers.cg_multi(
-        jax.vmap(lambda v: dirac.apply_ddag_d(up, v)), rhs, eps=eps, maxiter=maxiter
+    x, it, rsq = solvers.cg_multi_auto(
+        lambda v: dirac.apply_ddag_d(up, v), rhs, eps=eps, maxiter=maxiter
     )
     return x
 
