@@ -307,5 +307,10 @@ def z4_spinor(key, lattice, nc, nspin=4, dtype=jnp.complex128):
 
 
 def inner(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Global <a, b> = sum conj(a) b (the reference's dot(a,b))."""
-    return jnp.vdot(a, b)
+    """Global <a, b> = sum conj(a) b (the reference's dot(a,b)).
+
+    Elementwise form, NOT jnp.vdot: vdot's ravel forces the GSPMD
+    partitioner to all-gather the full sharded field before the dot
+    (ops/solvers.py _vdot note); this form stays sharded and reduces
+    to a scalar all-reduce."""
+    return jnp.sum(jnp.conj(a) * b)

@@ -23,7 +23,13 @@ import jax.numpy as jnp
 
 
 def _vdot(a, b):
-    return jnp.vdot(a, b)
+    """sum(conj(a)*b) WITHOUT jnp.vdot: vdot ravels its operands, and
+    reshaping a sharded lattice field to 1-D makes the GSPMD partitioner
+    all-gather the FULL field on every device each CG iteration (seen in
+    the round-3 HLO audit, tests/test_collective_audit.py). The
+    elementwise form keeps the product sharded and lowers to partial
+    sums + a scalar all-reduce."""
+    return jnp.sum(jnp.conj(a) * b)
 
 
 def _safe_div(a, b):

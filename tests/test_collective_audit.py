@@ -1,0 +1,152 @@
+"""Static communication audit of the sharded SPMD programs (VERDICT r2
+next-round #9): lower the hot programs to optimized HLO on the 8-device
+virtual mesh and pin the collective inventory.
+
+What the pins guarantee (the multi-chip design claims, docs/design.md
+"SPMD parallelism"):
+
+* D-slash: halo exchange ONLY — 3 collective-permutes per sharded axis
+  (psi forward, psi backward, links backward), nothing else. No
+  all-gather: the stencil never materializes a neighbor's full shard.
+* CG: the two D-slashes' permutes + SCALAR all-reduces for the inner
+  products. Round-3 finding fixed here: jnp.vdot ravels its operands,
+  which made GSPMD all-gather the FULL field on every iteration; the
+  elementwise sum(conj(a)*b) form removes every all-gather from the
+  solver hot loop (ops/solvers.py _vdot, ops/dirac/wilson.py inner).
+* Full HMC trajectory: collective-permutes scale with MD steps (halo
+  exchanges in force/action staples), all-reduces are scalar-only
+  (energies/plaquette), and there is NO all-gather and NO all-to-all
+  anywhere in the compiled program.
+"""
+
+import re
+from collections import Counter
+
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from latticeqcd_tpu.ops import fields, gauge_action as ga, solvers
+from latticeqcd_tpu.ops.dirac.wilson import (
+    WilsonDirac,
+    apply_boundary_phases,
+    gaussian_spinor,
+)
+from latticeqcd_tpu.parallel import make_lattice_mesh, shard_links
+from latticeqcd_tpu.updates import HMC
+
+LAT = (4, 4, 8, 8)
+PES = (1, 1, 2, 4)  # 2 sharded axes
+N_SHARDED_AXES = 2
+
+_COLLECTIVE = re.compile(
+    r"= (?P<shape>\S+|\([^)]*\)) (?P<op>collective-permute|all-reduce|all-gather"
+    r"|all-to-all|reduce-scatter)(?:-start)?\("
+)
+
+
+def _audit(hlo: str):
+    """-> (Counter of op kinds, non-scalar REDUCTION lines, permute lines).
+
+    collective-permutes legitimately carry halo planes (non-scalar by
+    design); all-reduce/all-gather results in these programs must be
+    scalars (energies, inner products) — a field-shaped one means the
+    partitioner started shipping whole shards."""
+    ops = Counter()
+    nonscalar_reduce = []
+    permutes = []
+    for line in hlo.splitlines():
+        m = _COLLECTIVE.search(line)
+        if not m:
+            continue
+        ops[m.group("op")] += 1
+        shapes = re.findall(r"[a-z]\d+\[([\d,]*)\]", m.group("shape"))
+        if m.group("op") == "collective-permute":
+            permutes.append((shapes, line.strip()))
+        elif any(s for s in shapes):
+            nonscalar_reduce.append(line.strip())
+    return ops, nonscalar_reduce, permutes
+
+
+def _assert_permutes_are_halo_planes(permutes):
+    """Every halo exchange moves a boundary PLANE (some lattice dim of
+    extent 1), never a full shard."""
+    for shapes, line in permutes:
+        for s in shapes:
+            dims = [int(x) for x in s.split(",") if x]
+            assert 1 in dims, line
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_lattice_mesh(PES)
+
+
+@pytest.fixture(scope="module")
+def sharded_fields(mesh):
+    u = apply_boundary_phases(fields.hot_start(LAT, 3, seed=0))
+    psi = gaussian_spinor(jax.random.PRNGKey(1), LAT, 3, nspin=4)
+    us = shard_links(u, mesh)
+    ps = jax.device_put(psi, NamedSharding(mesh, P("x", "y", "z", "t", None, None)))
+    return us, ps
+
+
+def test_dslash_halo_exchange_is_minimal(sharded_fields):
+    us, ps = sharded_fields
+    d = WilsonDirac(kappa=0.141139)
+    hlo = jax.jit(d.apply).lower(us, ps).compile().as_text()
+    ops, nonscalar, permutes = _audit(hlo)
+    _assert_permutes_are_halo_planes(permutes)
+    assert nonscalar == []
+    # 3 halo permutes per sharded axis: psi(x+mu), psi(x-mu), U(x-mu)
+    assert ops["collective-permute"] == 3 * N_SHARDED_AXES, ops
+    assert ops["all-gather"] == 0, ops
+    assert ops["all-reduce"] == 0, ops
+    assert ops["all-to-all"] == 0, ops
+
+
+def test_cg_hot_loop_has_no_all_gather(sharded_fields):
+    us, ps = sharded_fields
+    d = WilsonDirac(kappa=0.141139)
+    f = jax.jit(
+        lambda uu, bb: solvers.cg(
+            lambda v: d.apply_ddag_d(uu, v), bb, eps=1e-10, maxiter=50
+        )[0]
+    )
+    hlo = f.lower(us, ps).compile().as_text()
+    ops, nonscalar, permutes = _audit(hlo)
+    _assert_permutes_are_halo_planes(permutes)
+    # DdagD = 2 D-slashes -> 12 permutes; inner products -> scalar
+    # all-reduces only (measured 4: rsq, target, p.Ap grouped by XLA)
+    assert ops["collective-permute"] == 2 * 3 * N_SHARDED_AXES, ops
+    assert ops["all-gather"] == 0, ops
+    assert ops["all-to-all"] == 0, ops
+    assert 1 <= ops["all-reduce"] <= 8, ops
+    assert nonscalar == [], nonscalar[:3]
+
+
+def test_full_hmc_trajectory_collectives(sharded_fields):
+    us, _ = sharded_fields
+    hmc = HMC(action=ga.wilson_gauge_action(3, 5.7), dtau=0.05, md_steps=5)
+    hlo = jax.jit(hmc._step_fused).lower(us, jax.random.PRNGKey(0)).compile().as_text()
+    ops, nonscalar, permutes = _audit(hlo)
+    _assert_permutes_are_halo_planes(permutes)
+    assert ops["all-gather"] == 0, ops
+    assert ops["all-to-all"] == 0, ops
+    # every all-reduce in the trajectory is a scalar energy/plaquette sum
+    assert nonscalar == [], nonscalar[:3]
+    # halo permutes: measured 48 for 5 QPQ steps (force staples + action
+    # evaluations); pin a band so a layout regression (e.g. an op that
+    # starts gathering instead of exchanging halos) is caught without
+    # tying the test to one XLA version's exact fusion choices
+    assert 0 < ops["collective-permute"] <= 12 * (5 + 2), ops
+
+
+def test_collective_inventory_documented(sharded_fields):
+    """The docs/design.md table must quote the measured counts."""
+    with open("docs/design.md") as fp:
+        text = fp.read()
+    assert "collective inventory" in text.lower()

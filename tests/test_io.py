@@ -269,3 +269,70 @@ measure_every = 1
     lines = (tmp_path / "meas/m/Plaquette.txt").read_text().splitlines()
     first = float(lines[0].split()[1])
     assert abs(first - float(gauge_action.mean_plaquette(u))) < 1e-12
+
+
+def test_jld2_reads_chunked_compressed_with_extra_members(tmp_path, reference_dir):
+    """Hardening fixture (VERDICT r2 next-round #8): real JLD2 output may
+    carry chunked+gzip datasets (JLD2.jl `compress=true` uses deflate,
+    which h5py reads natively), extra struct members, metadata arrays,
+    and broken external links; the loader must read the links and skip
+    the rest."""
+    import h5py
+
+    from latticeqcd_tpu.io import load_jld2
+
+    conf = os.path.join(
+        reference_dir,
+        "test/confs_HMC_L04040404_beta5.7_quenched_su3/conf_00000100.ildg.txt",
+    )
+    u = np.asarray(load_bridge_text(conf, (4, 4, 4, 4), 3))
+    cdt = np.dtype([("re", "<f8"), ("im", "<f8")])
+    fn = tmp_path / "compressed.jld2"
+    with h5py.File(fn, "w") as fp:
+        # noise the loader must ignore: strings, scalars, metadata
+        # arrays, a dangling external link, JLD2-style _types group
+        fp.create_dataset("params/BoundaryCondition", data=np.array([1, 1, 1, -1]))
+        fp.create_dataset("params/beta", data=5.7)
+        fp.create_dataset("comment", data=np.bytes_("gauge configuration"))
+        fp.create_group("_types").create_dataset("t1", data=np.arange(3))
+        fp["broken_ext"] = h5py.ExternalLink("does_not_exist.h5", "/x")
+        refs = []
+        for mu in range(4):
+            jarr = np.transpose(u[mu], (3, 2, 1, 0, 5, 4))
+            buf = np.empty(jarr.shape, dtype=cdt)
+            buf["re"] = jarr.real
+            buf["im"] = jarr.imag
+            arr_ds = fp.create_dataset(
+                f"_anon_links_{mu}", data=buf,
+                chunks=(2, 2, 2, 2, 3, 3), compression="gzip",
+                compression_opts=6, shuffle=True,
+            )
+            sdt = np.dtype(
+                [("U", h5py.ref_dtype), ("NX", "<i8"), ("NDW", "<i8"),
+                 ("mpi", "?"), ("verbose_level", "<i8")]
+            )
+            sval = np.zeros((), dtype=sdt)
+            sval["U"] = arr_ds.ref
+            sval["NX"] = 4
+            refs.append(fp.create_dataset(f"_anon_struct_{mu}", data=sval).ref)
+        fp.create_dataset("U", data=np.array(refs, dtype=h5py.ref_dtype))
+    v = np.asarray(load_jld2(fn, (4, 4, 4, 4), 3))
+    assert np.max(np.abs(u - v)) == 0.0
+
+
+def test_jld2_reads_single_stacked_direction_axis(tmp_path):
+    """7-axis single-array variant (direction axis leading in the h5py
+    view), chunked+gzip, native complex dtype."""
+    import h5py
+
+    from latticeqcd_tpu.io import load_jld2
+    from latticeqcd_tpu.ops import fields
+
+    u = np.asarray(fields.hot_start((4, 2, 2, 4), 2, seed=3))
+    fn = tmp_path / "stacked.jld2"
+    with h5py.File(fn, "w") as fp:
+        # our (mu,x,y,z,t,a,b) -> h5py (mu,t,z,y,x,b,a)
+        jarr = np.transpose(u, (0, 4, 3, 2, 1, 6, 5))
+        fp.create_dataset("U", data=jarr, chunks=True, compression="gzip")
+    v = np.asarray(load_jld2(fn, (4, 2, 2, 4), 2))
+    assert np.max(np.abs(u - v)) == 0.0
