@@ -395,7 +395,7 @@ class DomainwallFermiAction:
         xi = (
             jax.random.normal(k1, shape, dtype=rdtype)
             + 1j * jax.random.normal(k2, shape, dtype=rdtype)
-        ).astype(u.dtype) / np.sqrt(2.0)
+        ).astype(u.dtype) / float(np.sqrt(2.0))  # weak scalar: keep c64 under x64
         rhs = d.apply_dagger(up, xi)
         w, _, _ = solvers.cg(
             lambda v: pv.apply_ddag_d(up, v), rhs, eps=self.eps_cg, maxiter=self.max_cg

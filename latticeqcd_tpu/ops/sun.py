@@ -86,7 +86,9 @@ def random_hermitian_momentum(key, shape_prefix, nc: int, dtype=jnp.complex128):
     shape = tuple(shape_prefix) + (nc, nc)
     re = jax.random.normal(k1, shape, dtype=rdtype)
     im = jax.random.normal(k2, shape, dtype=rdtype)
-    a = (re + 1j * im).astype(dtype) / np.sqrt(2.0)
+    # float(...) keeps the scalar weakly typed: a NumPy f64 scalar here
+    # silently promotes complex64 fields to complex128 under x64 mode
+    a = (re + 1j * im).astype(dtype) / float(np.sqrt(2.0))
     h = 0.5 * (a + dagger(a))
     tr = trace(h) / nc
     return h - tr[..., None, None] * jnp.eye(nc, dtype=dtype)

@@ -271,3 +271,30 @@ def test_hasenbusch_sw_split_staged_matches_fused():
     assert bool(jnp.isfinite(st1["dH"]))
     assert abs(float(st1["dH"]) - float(st2["dH"])) < 1e-7
     assert bool(st1["accepted"]) == bool(st2["accepted"])
+
+
+def test_c64_dynamical_step_preserves_dtype_under_x64():
+    """Strongly-typed NumPy scalars (np.sqrt(2.0)) used to promote
+    complex64 fields to complex128 under x64 mode — invisible on TPU
+    (x64 off) and in the f64 test suite, but it silently doubled memory
+    and ran f64 math in mixed CPU runs (found by scripts/c64_bias.py)."""
+    u = load_bridge_text(
+        os.path.join(
+            "/root/reference/test",
+            "confs_HMC_L04040404_beta5.7_Wilson_kappa0.141139/conf_00000100.ildg.txt",
+        ),
+        LAT, 3, dtype=jnp.complex64,
+    )
+    from latticeqcd_tpu.ops import sun
+    from latticeqcd_tpu.ops.dirac.wilson import WilsonDirac
+    from latticeqcd_tpu.ops.fermion_action import WilsonFermiAction
+
+    h = sun.random_hermitian_momentum(jax.random.PRNGKey(0), LAT, 3, dtype=jnp.complex64)
+    assert h.dtype == jnp.complex64
+    assert sun.expi_hermitian(h, 0.1).dtype == jnp.complex64
+    fa = WilsonFermiAction(WilsonDirac(kappa=0.141139, r=1.0), eps_cg=1e-10, max_cg=500)
+    hmc = HMC(action=ga.wilson_gauge_action(3, 6.0), dtau=0.1, md_steps=2,
+              fermi_action=fa, staged=False)
+    u2, _, st = hmc.step(u, jax.random.PRNGKey(1))
+    assert u2.dtype == jnp.complex64
+    assert bool(jnp.isfinite(st["dH"]))
