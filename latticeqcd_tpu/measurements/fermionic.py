@@ -33,6 +33,15 @@ from latticeqcd_tpu.ops.dirac.wilson import (
 )
 
 
+def _solve_mode():
+    """Test hook: LQCD_FORCE_SOLVE_MODE=batched|sequential overrides the
+    cg_multi_auto backend dispatch (read at trace time — tests using it
+    must use a shape not already in the jit cache)."""
+    import os
+
+    return os.environ.get("LQCD_FORCE_SOLVE_MODE") or None
+
+
 @partial(jax.jit, static_argnums=(0, 3, 4))
 def _solve_dinv_multi(dirac, up, b, eps, maxiter):
     """solve_DinvX! over a STACK of right-hand sides: D x_i = b_i,
@@ -68,7 +77,7 @@ def _solve_dinv_multi(dirac, up, b, eps, maxiter):
         rhs_e = d.mass * b_e - dsl_eo(b_o)
         x_e, _, _ = solvers.cg_multi_auto(
             lambda v: d.apply_w_packed((u_e, u_o), v),
-            rhs_e, eps=eps, maxiter=maxiter,
+            rhs_e, eps=eps, maxiter=maxiter, force_mode=_solve_mode(),
         )
         x_o = (b_o - dsl_oe(x_e)) / d.mass
         return jax.vmap(lambda v: d.unpack(v, 0))(x_e) + jax.vmap(
@@ -105,7 +114,7 @@ def _solve_dinv_multi(dirac, up, b, eps, maxiter):
             lambda v: d.apply_dhat_clover_dagger(
                 u_eo, a_e, ainv_o, d.apply_dhat_clover(u_eo, a_e, ainv_o, v)
             ),
-            rhs_e, eps=eps, maxiter=maxiter,
+            rhs_e, eps=eps, maxiter=maxiter, force_mode=_solve_mode(),
         )
         x_o = ainv(b_o + d.kappa * hop_oe(x_e))
         return jax.vmap(lambda v: eo_pack.unpack(v, lattice, 0))(x_e) + jax.vmap(
@@ -134,7 +143,7 @@ def _solve_dinv_multi(dirac, up, b, eps, maxiter):
         rhs_e = dhat_dag(b_e + d.kappa * hop_eo(b_o))
         x_e, _, _ = solvers.cg_multi_auto(
             lambda v: d.apply_dhat_dagger(u_eo, d.apply_dhat(u_eo, v)),
-            rhs_e, eps=eps, maxiter=maxiter,
+            rhs_e, eps=eps, maxiter=maxiter, force_mode=_solve_mode(),
         )
         x_o = b_o + d.kappa * hop_oe(x_e)
         return jax.vmap(lambda v: eo_pack.unpack(v, lattice, 0))(x_e) + jax.vmap(
@@ -142,7 +151,8 @@ def _solve_dinv_multi(dirac, up, b, eps, maxiter):
         )(x_o)
     rhs = jax.vmap(lambda f: dirac.apply_dagger(up, f))(b)
     x, it, rsq = solvers.cg_multi_auto(
-        lambda v: dirac.apply_ddag_d(up, v), rhs, eps=eps, maxiter=maxiter
+        lambda v: dirac.apply_ddag_d(up, v), rhs, eps=eps, maxiter=maxiter,
+        force_mode=_solve_mode(),
     )
     return x
 

@@ -173,7 +173,7 @@ def cg_multi(apply_a: Callable, b: jnp.ndarray, eps: float = 1e-19, maxiter: int
 
 
 def cg_multi_auto(apply_one: Callable, b: jnp.ndarray, eps: float = 1e-19,
-                  maxiter: int = 3000):
+                  maxiter: int = 3000, force_mode: str = None):
     """Backend-conditional multi-RHS solve (the measured policy VERDICT
     r2 missing #3 asked for, numbers in PERF.md "Batched multi-RHS").
 
@@ -191,8 +191,13 @@ def cg_multi_auto(apply_one: Callable, b: jnp.ndarray, eps: float = 1e-19,
     Semantics are identical either way (masked per-RHS alpha/beta in
     cg_multi, no Krylov sharing). Returns (x, iterations, per-RHS |r|^2)
     with iterations = the max over RHS on the sequential path.
+
+    force_mode ("batched" | "sequential" | None): override the backend
+    dispatch — used by tests to exercise the accelerator (batched) path
+    on the CPU suite.
     """
-    if jax.default_backend() == "cpu":
+    mode = force_mode or ("sequential" if jax.default_backend() == "cpu" else "batched")
+    if mode == "sequential":
         def solve_one(_, bi):
             x, it, rsq = cg(apply_one, bi, eps=eps, maxiter=maxiter)
             return None, (x, it, rsq)

@@ -9,8 +9,18 @@ backend initialization.
 
 import os
 
+# --xla_cpu_parallel_codegen_split_count=1: the round-2 "xdist flake"
+# was a SEGFAULT inside XLA:CPU's backend_compile_and_load under
+# 2-worker contention (reproduced 2026-08-21, full-suite run: worker
+# crash in jax/_src/compiler.py:362 during LLVM codegen, blamed on
+# whatever test was running — hence two unrelated "flaky" tests).
+# Serializing the parallel LLVM codegen removes the contention-
+# sensitive native race; compile time impact on this 2-core box is
+# negligible.
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    + " --xla_cpu_parallel_codegen_split_count=1"
 )
 
 import jax

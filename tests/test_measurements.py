@@ -113,3 +113,28 @@ def test_measurement_set_scheduling_and_files(tmp_path, reference_dir):
     assert plaq_lines[0].endswith("# plaq")
     topo_line = open(tmp_path / "Topological_charge.txt").read().split("\n")[0]
     assert "Qplaq" in topo_line and "Qclover" in topo_line and "Qimproved" in topo_line
+
+
+def test_pion_correlator_batched_path_matches_sequential(monkeypatch):
+    """The accelerator (batched cg_multi) dispatch of cg_multi_auto is
+    exercised on the CPU suite via the LQCD_FORCE_SOLVE_MODE hook and
+    pinned against the CPU-default sequential path — this is the
+    integration-level guarantee that the TPU production solve path
+    computes the same measurement (unique lattice shape: the hook is
+    read at trace time)."""
+    import os
+
+    from latticeqcd_tpu.measurements import fermionic
+    from latticeqcd_tpu.ops import fields
+    from latticeqcd_tpu.ops.dirac.wilson import WilsonDirac
+
+    lat = (2, 4, 2, 6)  # deliberately unusual: forces a fresh trace per mode
+    u = fields.hot_start(lat, 2, seed=17, dtype=jnp.complex128)
+    d = WilsonDirac(kappa=0.12)
+    monkeypatch.setenv("LQCD_FORCE_SOLVE_MODE", "sequential")
+    c_seq = fermionic.pion_correlator(u, d, eps=1e-20, maxiter=2000)
+    monkeypatch.setenv("LQCD_FORCE_SOLVE_MODE", "batched")
+    fermionic._solve_dinv_multi.clear_cache()
+    c_bat = fermionic.pion_correlator(u, d, eps=1e-20, maxiter=2000)
+    fermionic._solve_dinv_multi.clear_cache()
+    np.testing.assert_allclose(c_bat, c_seq, rtol=1e-9)
