@@ -101,6 +101,61 @@ def autocorrelation(samples, s_tau: float = 1.5):
     return mean, err, tau_int, int(w_opt)
 
 
+def static_potential(w_rt):
+    """V(R) from a Wilson-loop matrix W[R-1, T-1] = <W(R,T)>:
+    effective-mass estimate V(R) = ln(W(R,T-1)/W(R,T)) at the largest
+    usable T (measure_Wilsonloop analysis convention; the RxT series
+    comes straight from Wilson_loop.txt via read_wilson_loop)."""
+    w = np.asarray(w_rt, dtype=np.float64)
+    rmax, tmax = w.shape
+    v = np.full(rmax, np.nan)
+    for r in range(rmax):
+        ok = w[r] > 0
+        t = tmax - 1
+        while t >= 1 and not (ok[t] and ok[t - 1]):
+            t -= 1
+        if t >= 1:
+            v[r] = np.log(w[r, t - 1] / w[r, t])
+    return v
+
+
+def creutz_ratio(w_rt, r: int, t: int):
+    """chi(R,T) = -ln[ W(R,T) W(R-1,T-1) / (W(R,T-1) W(R-1,T)) ]:
+    the standard string-tension estimator (perimeter/corner terms
+    cancel; -> sigma a^2 for large R,T, and -> -ln u(beta) at strong
+    coupling). r, t are 1-based loop extents (r,t >= 2)."""
+    w = np.asarray(w_rt, dtype=np.float64)
+    num = w[r - 1, t - 1] * w[r - 2, t - 2]
+    den = w[r - 1, t - 2] * w[r - 2, t - 1]
+    if num <= 0 or den <= 0:
+        return float("nan")
+    return float(-np.log(num / den))
+
+
+def read_wilson_loop(filename):
+    """Wilson_loop.txt -> dict itrj -> W[R-1, T-1] matrix."""
+    out = {}
+    with open(filename) as fp:
+        for line in fp:
+            parts = line.split("#")[0].split()
+            if len(parts) < 4:
+                continue
+            try:
+                itrj, r, t, w = int(float(parts[0])), int(parts[1]), int(parts[2]), float(parts[3])
+            except ValueError:
+                continue
+            out.setdefault(itrj, {})[(r, t)] = w
+    mats = {}
+    for itrj, d in out.items():
+        rmax = max(k[0] for k in d)
+        tmax = max(k[1] for k in d)
+        m = np.full((rmax, tmax), np.nan)
+        for (r, t), w in d.items():
+            m[r - 1, t - 1] = w
+        mats[itrj] = m
+    return mats
+
+
 def main(argv=None):
     """CLI: python -m latticeqcd_tpu.analysis <measuredir> [skip]
 

@@ -43,3 +43,43 @@ def test_read_series_skips_comments(tmp_path):
     itrj, vals = read_measurement_series(str(p))
     assert list(itrj) == [1, 2, 3]
     assert np.allclose(vals[:, 0], [0.5, 0.6, 0.7])
+
+
+def test_static_potential_and_creutz_ratio_recover_area_law():
+    """Synthetic area-law loops W(R,T) = exp(-sigma R T - p (R+T) - c):
+    V(R) must come out sigma*R + p and every Creutz ratio exactly
+    sigma (perimeter and corner terms cancel)."""
+    import numpy as np
+
+    from latticeqcd_tpu.analysis import creutz_ratio, static_potential
+
+    sigma, p, c = 0.31, 0.11, 0.05
+    rmax = tmax = 5
+    w = np.array(
+        [[np.exp(-sigma * r * t - p * (r + t) - c) for t in range(1, tmax + 1)]
+         for r in range(1, rmax + 1)]
+    )
+    v = static_potential(w)
+    expect = np.array([sigma * r + p for r in range(1, rmax + 1)])
+    np.testing.assert_allclose(v, expect, rtol=1e-12)
+    for r in range(2, rmax + 1):
+        for t in range(2, tmax + 1):
+            assert abs(creutz_ratio(w, r, t) - sigma) < 1e-12
+
+
+def test_read_wilson_loop_roundtrip(tmp_path):
+    import numpy as np
+
+    from latticeqcd_tpu.analysis import read_wilson_loop
+
+    fn = tmp_path / "Wilson_loop.txt"
+    lines = []
+    for itrj in (1, 2):
+        for r in (1, 2):
+            for t in (1, 2, 3):
+                lines.append(f"{itrj} {r} {t} {0.5 ** (r * t) * itrj} # RxT wilson loop")
+    fn.write_text("\n".join(lines) + "\n")
+    mats = read_wilson_loop(fn)
+    assert set(mats) == {1, 2}
+    assert mats[1].shape == (2, 3)
+    assert abs(mats[2][1, 2] - 0.5 ** 6 * 2) < 1e-15
