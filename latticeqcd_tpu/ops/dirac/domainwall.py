@@ -65,7 +65,10 @@ class DomainwallDirac:
 
     def apply(self, u: jnp.ndarray, psi: jnp.ndarray) -> jnp.ndarray:
         """D_dw(m) psi for psi[L5, X, Y, Z, T, 4, NC]."""
-        g5 = jnp.asarray(np.diag(gammas.GAMMA5).real)
+        # dtype pinned: a default (f64 under x64) asarray here promotes
+        # complex64 fields to complex128 through the broadcasts below
+        rdt = jnp.float64 if psi.dtype == jnp.complex128 else jnp.float32
+        g5 = jnp.asarray(np.diag(gammas.GAMMA5).real, dtype=rdt)
         p_minus = (1.0 - g5) / 2.0  # acts on spin axis diagonally
         p_plus = (1.0 + g5) / 2.0
 

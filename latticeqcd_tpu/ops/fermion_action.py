@@ -569,9 +569,11 @@ class StaggeredFermiAction:
                 ys, _, _ = solvers.multishift_cg(
                     w, xi_w, pf.shifts, eps=self.eps_cg, maxiter=self.max_cg
                 )
-                phi = pf.const * xi_w
+                # float(...): np.float64 coefficients would promote
+                # complex64 fields to complex128 under x64 mode
+                phi = float(pf.const) * xi_w
                 for j, a in enumerate(pf.residues):
-                    phi = phi + a * ys[j]
+                    phi = phi + float(a) * ys[j]
             phis.append(self.dirac.unpack(phi, 0) if packed else phi)
         return s_old, jnp.stack(phis)
 

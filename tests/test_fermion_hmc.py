@@ -298,3 +298,32 @@ def test_c64_dynamical_step_preserves_dtype_under_x64():
     u2, _, st = hmc.step(u, jax.random.PRNGKey(1))
     assert u2.dtype == jnp.complex64
     assert bool(jnp.isfinite(st["dH"]))
+
+
+def test_c64_dtype_preserved_all_fermion_families():
+    """Pseudofermion sampling + force keep complex64 under x64 for
+    every fermion family (domain-wall g5 projector and RHMC rational
+    coefficients used to promote to complex128)."""
+    from latticeqcd_tpu.ops import fields
+    from latticeqcd_tpu.ops.dirac.domainwall import DomainwallDirac
+    from latticeqcd_tpu.ops.dirac.wilson import WilsonDirac
+    from latticeqcd_tpu.ops.fermion_action import (
+        DomainwallFermiAction,
+        StaggeredFermiAction,
+        WilsonFermiAction,
+    )
+
+    u4 = fields.hot_start((4, 4, 4, 4), 3, seed=1, dtype=jnp.complex64)
+    udw = fields.hot_start((4, 4, 2, 2), 3, seed=1, dtype=jnp.complex64)
+    cases = [
+        (WilsonFermiAction(WilsonDirac(kappa=0.13), eps_cg=1e-8, max_cg=300), u4),
+        (WilsonFermiAction(WilsonDirac(kappa=0.13, csw=1.5612), eps_cg=1e-8, max_cg=300), u4),
+        (StaggeredFermiAction(StaggeredDirac(mass=0.5, lattice=(4, 4, 4, 4)),
+                              nf=2, eps_cg=1e-8, max_cg=300), u4),
+        (DomainwallFermiAction(DomainwallDirac(mass=0.5, m5=1.0, l5=4),
+                               eps_cg=1e-8, max_cg=300), udw),
+    ]
+    for fa, u in cases:
+        _, phi = fa.sample_pseudofermion(u, jax.random.PRNGKey(0))
+        assert phi.dtype == jnp.complex64, type(fa).__name__
+        assert fa.force(u, phi).dtype == jnp.complex64, type(fa).__name__
