@@ -59,5 +59,19 @@ def measure(nbytes_each=256 * 1024 * 1024):
     return out
 
 
+def _sane(out) -> bool:
+    """Reject flap-window garbage: non-positive chain deltas or
+    physically impossible rates (> 1.5x the v5e datasheet 819 GB/s —
+    observed 2026-08-21: copyscale_ms = -0.9, triad 3000 GB/s while
+    axon was half-down). A sane pass keeps exit code 0 so the watcher
+    marks the step done; garbage exits 1 for a later retry."""
+    return all(
+        out.get(k, -1) > 0 for k in ("copyscale_ms", "triad_ms")
+    ) and all(0 < out.get(k, -1) < 1230 for k in ("copyscale_gbps", "triad_gbps"))
+
+
 if __name__ == "__main__":
-    print(json.dumps(measure()))
+    result = measure()
+    result["ok"] = _sane(result)
+    print(json.dumps(result))
+    raise SystemExit(0 if result["ok"] else 1)

@@ -47,7 +47,14 @@ def _chain_time(f, red, x0, n):
 
 def _per_iter(f, red, x0, n0=5, n1=55):
     _chain_time(f, red, x0, 2)  # warm
-    return (_chain_time(f, red, x0, n1) - _chain_time(f, red, x0, n0)) / (n1 - n0)
+    dt = (_chain_time(f, red, x0, n1) - _chain_time(f, red, x0, n0)) / (n1 - n0)
+    if dt <= 0:
+        # flap-window garbage (observed: negative chain deltas while
+        # axon half-down) — exit nonzero so capture harnesses retry
+        # instead of recording nonsense
+        print(f"# INSANE chain timing dt={dt}; aborting", flush=True)
+        sys.exit(1)
+    return dt
 
 
 def bench_matvec():
