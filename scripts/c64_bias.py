@@ -67,15 +67,19 @@ def _workload(name, dtype):
             StaggeredDirac(mass=0.5, lattice=(8, 8, 8, 8)), nf=4,
             eps_cg=1e-19, max_cg=3000,
         )
-        hmc = HMC(action=ga.wilson_gauge_action(3, 5.7), dtau=0.05, md_steps=10,
+        # dtau sized for O(1) dH from a hot start (0.05 gave dH ~ 33,
+        # acceptance 0 — a frozen chain is weak bias evidence)
+        hmc = HMC(action=ga.wilson_gauge_action(3, 5.7), dtau=0.02, md_steps=10,
                   fermi_action=fa, staged=False)
         return u, hmc
     raise ValueError(name)
 
 
-def run(name, dtype, n_traj):
+def run(name, dtype, n_traj, n_therm=4):
     u, hmc = _workload(name, dtype)
     key = jax.random.PRNGKey(111)
+    for _ in range(n_therm):  # discard: hot-start equilibration spikes
+        u, key, _ = hmc.step(u, key)
     dhs, n_acc = [], 0
     for _ in range(n_traj):
         u, key, st = hmc.step(u, key)
