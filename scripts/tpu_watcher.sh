@@ -50,15 +50,20 @@ STEPS=(
 
 declare -A FAILS
 PROBE_FAILS=0
+MAX_FAILS=8
 
-next_step() {  # echoes "name|tmo|cmd" of first pending step, or nothing
+next_step() {  # echoes the pending step with the FEWEST failures (so
+               # dead-window opportunistic attempts rotate across steps
+               # instead of burning one step's whole budget), or nothing
+  local best="" bestf=99999
   for s in "${STEPS[@]}"; do
     local name=${s%%|*}
     [ -f "$OUT/$name.ok" ] && continue
-    [ "${FAILS[$name]:-0}" -ge 4 ] && continue
-    echo "$s"
-    return 0
+    local f=${FAILS[$name]:-0}
+    [ "$f" -ge "$MAX_FAILS" ] && continue
+    if [ "$f" -lt "$bestf" ]; then best="$s"; bestf=$f; fi
   done
+  [ -n "$best" ] && { echo "$best"; return 0; }
   return 1
 }
 
