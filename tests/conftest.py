@@ -22,22 +22,24 @@ import pytest  # noqa: E402
 
 REFERENCE = "/root/reference"
 
-# Root cause of the round-2 "xdist flake" (reproduced 3x on 2026-08-21
-# in full-suite -n 2 runs, faulthandler stacks captured): an
-# INTERMITTENT NATIVE SEGFAULT inside XLA:CPU's
-# backend_compile_and_load while compiling large fermion-HMC programs
-# (twice in test_rhmc_spectral_bound_check's power-iteration program,
-# once in the Hasenbusch sampling program) — an XLA-internal
-# compile-time race. The xdist worker dies and blames whatever test
-# was compiling, which is why two unrelated tests looked "flaky".
-# Ruled out empirically: OOM (128 GB box, no dmesg events),
-# main-thread stack overflow (passes at ulimit -s 2048),
-# --xla_cpu_parallel_codegen_split_count=1 (crash recurred), disabling
-# CPU async dispatch (crash recurred). The compiler race cannot be
-# patched from this repo (pinned jax, no network), so contain it at
-# the harness: reschedule a crash-killed test ONCE on a fresh worker.
-# A test that crashes twice still fails the suite, so a genuine
-# persistent crash cannot hide.
+# Root cause of the round-2 "xdist flake" (reproduced 6x on 2026-08-21
+# in full-suite -n 2 runs, faulthandler stacks captured): a NATIVE
+# SEGFAULT inside XLA:CPU's backend_compile_and_load compiling
+# fermion-HMC programs — 5 of 6 in test_rhmc_spectral_bound_check's
+# power-iteration compile, 1 in Hasenbusch sampling. The signature is
+# a LONG-LIVED worker process (hundreds of prior compiles): the same
+# compile always succeeds in isolation and on a fresh worker, so this
+# is process-state-dependent corruption inside the pinned XLA, not a
+# property of any test. Ruled out empirically: OOM (128 GB box, no
+# dmesg events), main-thread stack overflow (passes at ulimit -s
+# 2048), --xla_cpu_parallel_codegen_split_count=1 (crash recurred),
+# disabling CPU async dispatch (crash recurred). Not patchable from
+# this repo (pinned jax, no network), so contain at the harness:
+# reschedule a crash-killed test ONCE on a fresh worker
+# (pytest_handlecrashitem). Validated 2026-08-21: 3 consecutive full
+# -n 2 suites green (235 passed, 1 contained rerun each). A test that
+# crashes twice still fails the suite, so a genuine persistent crash
+# cannot hide.
 _crash_retried: set = set()
 
 
