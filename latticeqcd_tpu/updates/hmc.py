@@ -305,6 +305,22 @@ class HMC:
                 force_fine = lambda uu: self.fermi_action.force_heavy(
                     uu, eta, smear_fn=smear_fn
                 )
+            elif hasattr(self.fermi_action, "force_with_guess"):
+                # Chronological inverter in the fused path too: the MD
+                # loop unrolls whenever a fermion force exists (_loop),
+                # so a stateful closure threads the previous step's CG
+                # solution through the traced graph as the next warm
+                # start — same scheme the staged path uses. Converged to
+                # eps_cg, the force (and so reversibility/exactness) is
+                # guess-independent at that tolerance.
+                guess = {"x": None}
+
+                def force_fermion(uu):
+                    f, x = self.fermi_action.force_with_guess(
+                        uu, eta, guess["x"], smear_fn=smear_fn
+                    )
+                    guess["x"] = x
+                    return f
             else:
                 force_fermion = lambda uu: self.fermi_action.force(uu, eta, smear_fn=smear_fn)
 

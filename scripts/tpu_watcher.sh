@@ -40,7 +40,7 @@ STEPS=(
   "matvec|700|python scripts/perf_16c32.py matvec"
   "stagmatvec|700|python scripts/perf_16c32.py matvec2"
   "batched|700|python scripts/perf_16c32.py batched"
-  "bench|1100|env BENCH_DEADLINE_S=1020 python bench.py"
+  "bench|1100|bash scripts/bench_step.sh"
   "quenched|800|python scripts/perf_16c32.py quenched"
   "stagtraj|1100|python scripts/perf_16c32.py staggered"
   "multichain|800|python scripts/perf_16c32.py multichain4x4"
