@@ -307,13 +307,22 @@ class HasenbuschWilsonFermiAction:
     def force_heavy(self, u, phi, smear_fn=None):
         """Force of S1 alone (heavy term, cheap well-conditioned CG) —
         for the FINE timescale of a Sexton-Weingarten split."""
+        return self._force_heavy_impl(u, phi, None, smear_fn)[0]
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def force_heavy_with_guess(self, u, phi, x0, smear_fn=None):
+        """Chronological warm start for the fine-scale heavy force
+        (see WilsonFermiAction.force_with_guess). Returns (force, x1)."""
+        return self._force_heavy_impl(u, phi, x0, smear_fn)
+
+    def _force_heavy_impl(self, u, phi, x0, smear_fn):
         us = smear_fn(u) if smear_fn is not None else u
         up = self._phased(us)
         phi1, _ = phi
         packed = self._is_packed(up, phi1)
         a, adag = self._ops(up, packed)
         x1, _, _ = solvers.cg(
-            lambda v: a(adag(v)) + (self.mu ** 2) * v, phi1,
+            lambda v: a(adag(v)) + (self.mu ** 2) * v, phi1, x0=x0,
             eps=self.eps_cg, maxiter=self.max_cg,
         )
         x1 = jax.lax.stop_gradient(x1)
@@ -324,13 +333,22 @@ class HasenbuschWilsonFermiAction:
             aa, aadag = self._ops(uup, packed)
             return jnp.real(inner(x1, aa(aadag(x1))))
 
-        return _project_force(u, jax.grad(c)(u))
+        return _project_force(u, jax.grad(c)(u)), x1
 
     @partial(jax.jit, static_argnums=(0, 3))
     def force_light(self, u, phi, smear_fn=None):
         """Force of S2 alone (ratio term, the expensive light solve) —
         for the COARSE timescale; its fluctuations are the ones the
         Hasenbusch split shrinks."""
+        return self._force_light_impl(u, phi, None, smear_fn)[0]
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def force_light_with_guess(self, u, phi, x0, smear_fn=None):
+        """Chronological warm start for the coarse-scale ratio force.
+        Returns (force, x2)."""
+        return self._force_light_impl(u, phi, x0, smear_fn)
+
+    def _force_light_impl(self, u, phi, x0, smear_fn):
         us = smear_fn(u) if smear_fn is not None else u
         up = self._phased(us)
         phi1, phi2 = phi
@@ -338,7 +356,7 @@ class HasenbuschWilsonFermiAction:
         a, adag = self._ops(up, packed)
         w = self._amu_dag(adag, phi2)
         x2, _, _ = solvers.cg(
-            lambda v: a(adag(v)), w, eps=self.eps_cg, maxiter=self.max_cg
+            lambda v: a(adag(v)), w, x0=x0, eps=self.eps_cg, maxiter=self.max_cg
         )
         x2 = jax.lax.stop_gradient(x2)
 
@@ -349,7 +367,7 @@ class HasenbuschWilsonFermiAction:
             t = jnp.real(inner(x2, aa(aadag(x2))))
             return t - 2.0 * jnp.real(inner(x2, self._amu_dag(aadag, phi2)))
 
-        return _project_force(u, jax.grad(c)(u))
+        return _project_force(u, jax.grad(c)(u)), x2
 
 
 # ---------------------------------------------------------------------------

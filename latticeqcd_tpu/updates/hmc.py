@@ -172,10 +172,20 @@ class HMC:
             and hasattr(fa, "force_heavy")
         )
 
+        # split-path chronological guesses (light on the coarse scale,
+        # heavy on the fine scale — each warm-starts its own CG chain)
+        xg_light = None
+        xg_heavy = None
+
         def fermion_kick(u, h, eps):
-            nonlocal x_guess
+            nonlocal x_guess, xg_light
             if split:
-                f = fa.force_light(u, eta, smear_fn=smear_fn)
+                if hasattr(fa, "force_light_with_guess"):
+                    f, xg_light = fa.force_light_with_guess(
+                        u, eta, xg_light, smear_fn=smear_fn
+                    )
+                else:
+                    f = fa.force_light(u, eta, smear_fn=smear_fn)
             elif force_g is not None:
                 # x_guess None on the first call -> a second jit variant
                 f, x_guess = force_g(u, eta, x_guess, smear_fn=smear_fn)
@@ -184,12 +194,19 @@ class HMC:
             return h + eps * f
 
         def gauge_segment(u, h, n_sub):
+            nonlocal xg_heavy
             if not split:
                 return self._gauge_segment_jit(u, h, n_sub)
             eps = self.dtau / self.nsw
             for _ in range(n_sub):
                 u, h = self._uk_update_jit(u, h, 0.5 * eps, eps)
-                h = h + eps * fa.force_heavy(u, eta, smear_fn=smear_fn)
+                if hasattr(fa, "force_heavy_with_guess"):
+                    f, xg_heavy = fa.force_heavy_with_guess(
+                        u, eta, xg_heavy, smear_fn=smear_fn
+                    )
+                else:
+                    f = fa.force_heavy(u, eta, smear_fn=smear_fn)
+                h = h + eps * f
                 u = self._u_update_jit(u, h, 0.5 * eps)
             return u, h
 
@@ -298,13 +315,23 @@ class HMC:
             smear_fn = self.smearing.smear if self.smearing is not None else None
             if self.sexton_weingarten and hasattr(self.fermi_action, "force_heavy"):
                 # Hasenbusch timescale split: heavy (cheap) term on the
-                # fine gauge scale, light (ratio) term on the coarse one
-                force_fermion = lambda uu: self.fermi_action.force_light(
-                    uu, eta, smear_fn=smear_fn
-                )
-                force_fine = lambda uu: self.fermi_action.force_heavy(
-                    uu, eta, smear_fn=smear_fn
-                )
+                # fine gauge scale, light (ratio) term on the coarse
+                # one; both chronologically warm-started through the
+                # unrolled MD graph (each scale threads its own chain)
+                g_light = {"x": None}
+                g_heavy = {"x": None}
+
+                def force_fermion(uu):
+                    f, g_light["x"] = self.fermi_action.force_light_with_guess(
+                        uu, eta, g_light["x"], smear_fn=smear_fn
+                    )
+                    return f
+
+                def force_fine(uu):
+                    f, g_heavy["x"] = self.fermi_action.force_heavy_with_guess(
+                        uu, eta, g_heavy["x"], smear_fn=smear_fn
+                    )
+                    return f
             elif hasattr(self.fermi_action, "force_with_guess"):
                 # Chronological inverter in the fused path too: the MD
                 # loop unrolls whenever a fermion force exists (_loop),
