@@ -626,18 +626,50 @@ class StaggeredFermiAction:
     def force(self, u, phi, smear_fn=None):
         """Exact RHMC force via partial fractions; smearing chain rule
         by autodiff (see WilsonFermiAction.force)."""
+        return self._force_impl(u, phi, smear_fn, None)[0]
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def force_with_guess(self, u, phi, x0, smear_fn=None):
+        """Chronological inverter for the SINGLE-POLE rational (Nf=4/8:
+        W^-1 exactly, one shift 0 / residue 1): the solve is a plain CG
+        that warm-starts from the previous MD step's solution. Multi-pole
+        RHMC (Nf not in {4,8}) keeps multishift CG, which requires
+        x0 = 0 (the shifted recurrence shares one Krylov space) — there
+        this returns x=None and the guess thread stays empty. Returns
+        (force, solutions-or-None)."""
+        return self._force_impl(u, phi, smear_fn, x0)
+
+    def _is_single_pole(self, pf) -> bool:
+        return (
+            len(pf.shifts) == 1
+            and abs(pf.shifts[0]) < 1e-14
+            and abs(pf.residues[0] - 1.0) < 1e-14
+            and abs(pf.const) < 1e-14
+        )
+
+    def _force_impl(self, u, phi, smear_fn, x0):
         pf = self._pf_action()
         us = smear_fn(u) if smear_fn is not None else u
         up = self._phased(us)
         packed = self._packed()
         ueo = self.dirac.packed_links(up) if packed else None
         w = self._w_p(ueo) if packed else self._w(up)
+        single = self._is_single_pole(pf)
         xs_all = []
+        xs_out = [] if single else None
         for i in range(self.n_pf):
             b = self.dirac.pack(phi[i], 0) if packed else phi[i]
-            xs, _, _ = solvers.multishift_cg(
-                w, b, pf.shifts, eps=self.eps_cg, maxiter=self.max_cg
-            )
+            if single:
+                x, _, _ = solvers.cg(
+                    w, b, x0=None if x0 is None else x0[i],
+                    eps=self.eps_cg, maxiter=self.max_cg,
+                )
+                xs = x[None]
+                xs_out.append(jax.lax.stop_gradient(x))
+            else:
+                xs, _, _ = solvers.multishift_cg(
+                    w, b, pf.shifts, eps=self.eps_cg, maxiter=self.max_cg
+                )
             xs_all.append(jax.lax.stop_gradient(xs))
 
         residues = jnp.asarray(pf.residues)
@@ -657,4 +689,4 @@ class StaggeredFermiAction:
             return acc
 
         g = jax.grad(c)(u)
-        return _project_force(u, g)
+        return _project_force(u, g), xs_out
