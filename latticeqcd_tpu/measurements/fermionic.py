@@ -48,12 +48,14 @@ def _solve_dinv_multi(dirac, up, b, eps, maxiter):
     b shape (n, *lattice, [spin,] color); one jitted SPMD program per
     (operator, shape).
 
-    The batch runs through solvers.cg_multi with the operator vmapped
-    over the RHS axis: the HBM-bound Dirac mat-vec then reads the link
-    field once per batch instead of once per source (PERF.md roofline
-    — links are ~3/5 of D-slash traffic), which is the TPU-native
-    answer to the reference's sequential NC*Nspinor measurement
-    inversions (measure_Pion_correlator.jl:333-409).
+    The batch runs through solvers.cg_multi_auto: on accelerators the
+    operator is vmapped over the RHS axis so the HBM-bound Dirac
+    mat-vec reads the link field once per batch instead of once per
+    source (PERF.md roofline — links are ~3/5 of D-slash traffic), the
+    TPU-native answer to the reference's sequential NC*Nspinor
+    measurement inversions (measure_Pion_correlator.jl:333-409); on
+    CPU a sequential lax.scan of single-RHS CGs measures 1.40x faster
+    (cache-resident working set, per-RHS early exit).
 
     Staggered fast path: even-odd Schur decomposition in the PACKED
     layout (see StaggeredDirac.apply_w_packed) — with D = m + Dsl and
