@@ -77,6 +77,13 @@ def run_point(beta: float, n_therm: int, n_meas: int, measure_every: int = 2,
         if i % 10 == 0:
             print(f"# beta={beta} therm {i}/{n_therm} plaq={float(st['plaq']):.5f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
+        if i == 12 and float(st["plaq"]) == 1.0:
+            # axon flap windows have been seen running trajectories that
+            # silently never move off the cold start (plaq pinned at
+            # exactly 1.0, CPU c64+staged reproduces fine) — abort with
+            # nonzero exit so the capture harness retries later
+            print(f"# FROZEN chain (plaq==1.0 after {i} traj); aborting", flush=True)
+            sys.exit(1)
     series = []
     for i in range(n_meas):
         u, key, st = hmc.step(u, key)
