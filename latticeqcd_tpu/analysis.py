@@ -125,6 +125,10 @@ def creutz_ratio(w_rt, r: int, t: int):
     cancel; -> sigma a^2 for large R,T, and -> -ln u(beta) at strong
     coupling). r, t are 1-based loop extents (r,t >= 2)."""
     w = np.asarray(w_rt, dtype=np.float64)
+    # r/t < 2 would wrap the r-2/t-2 indices to -1 (Python negative
+    # indexing) and silently build the ratio from the largest loops.
+    if r < 2 or t < 2 or r > w.shape[0] or t > w.shape[1]:
+        return float("nan")
     num = w[r - 1, t - 1] * w[r - 2, t - 2]
     den = w[r - 1, t - 2] * w[r - 2, t - 1]
     if num <= 0 or den <= 0:
@@ -133,7 +137,13 @@ def creutz_ratio(w_rt, r: int, t: int):
 
 
 def read_wilson_loop(filename):
-    """Wilson_loop.txt -> dict itrj -> W[R-1, T-1] matrix."""
+    """Wilson_loop.txt -> dict itrj -> W[R-1, T-1] matrix.
+
+    WilsonLoopMeasurement writes `{itrj} {additional_string}{r} {t} {w}`
+    (scheduler.py:142), and additional_string may hold extra fields
+    (e.g. flow `{itrj} {istep} {tau} `, lqcd.py:231) — so r, t, w are
+    parsed as the LAST three fields before the comment, not columns
+    1-3 (ADVICE r3)."""
     out = {}
     with open(filename) as fp:
         for line in fp:
@@ -141,8 +151,11 @@ def read_wilson_loop(filename):
             if len(parts) < 4:
                 continue
             try:
-                itrj, r, t, w = int(float(parts[0])), int(parts[1]), int(parts[2]), float(parts[3])
+                itrj = int(float(parts[0]))
+                r, t, w = int(parts[-3]), int(parts[-2]), float(parts[-1])
             except ValueError:
+                continue
+            if r < 1 or t < 1:
                 continue
             out.setdefault(itrj, {})[(r, t)] = w
     mats = {}

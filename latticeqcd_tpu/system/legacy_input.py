@@ -4,13 +4,18 @@ Counterpart of transform_oldinputfile.jl (SURVEY.md 2.2;
 /root/reference/src/system/transform_oldinputfile.jl:120-258): the
 old format is Julia assignments into four dicts (system, actions, md,
 measurement — see e.g. /root/reference/test/test01.jl). The
-reference `include`s the file (executes it); here the Julia literals
-are transliterated to Python expressions and evaluated with an empty
-builtins namespace, then mapped onto the Params TOML-section layout.
+reference `include`s the file (ARBITRARY code execution); here the
+Julia literals are transliterated to Python expressions and evaluated
+by a restricted AST walker (_safe_eval) that only admits literals,
+container displays, basic arithmetic, subscripts into the parsed
+dicts, and the two transliteration helpers — no attribute access, no
+names outside the namespace, no arbitrary calls (ADVICE r3: a bare
+`eval` with empty __builtins__ is escapable via attribute chains).
 """
 
 from __future__ import annotations
 
+import ast
 import re
 from typing import Any, Dict
 
@@ -37,15 +42,61 @@ _REPLACEMENTS = [
 ]
 
 
+_BINOPS = {
+    ast.Add: lambda a, b: a + b,
+    ast.Sub: lambda a, b: a - b,
+    ast.Mult: lambda a, b: a * b,
+    ast.Div: lambda a, b: a / b,
+    ast.FloorDiv: lambda a, b: a // b,
+    ast.Pow: lambda a, b: a ** b,
+    ast.Mod: lambda a, b: a % b,
+}
+_UNARYOPS = {ast.UAdd: lambda a: +a, ast.USub: lambda a: -a}
+
+
+def _safe_eval(node: ast.AST, namespace: Dict[str, Any]):
+    """Evaluate the tiny expression grammar legacy files actually use:
+    literals, lists/tuples, +-*/÷^% arithmetic, string subscripts into
+    the parsed dicts (e.g. 1/md["MDsteps"]), and calls to the two
+    transliteration helpers. Everything else (attribute access, names
+    outside the namespace, arbitrary calls) raises ValueError."""
+    if isinstance(node, ast.Expression):
+        return _safe_eval(node.body, namespace)
+    if isinstance(node, ast.Constant):
+        return node.value
+    if isinstance(node, (ast.List, ast.Tuple)):
+        vals = [_safe_eval(e, namespace) for e in node.elts]
+        return vals if isinstance(node, ast.List) else tuple(vals)
+    if isinstance(node, ast.BinOp) and type(node.op) in _BINOPS:
+        return _BINOPS[type(node.op)](
+            _safe_eval(node.left, namespace), _safe_eval(node.right, namespace)
+        )
+    if isinstance(node, ast.UnaryOp) and type(node.op) in _UNARYOPS:
+        return _UNARYOPS[type(node.op)](_safe_eval(node.operand, namespace))
+    if isinstance(node, ast.Name):
+        if node.id in namespace and not callable(namespace[node.id]):
+            return namespace[node.id]
+        raise ValueError(f"legacy .jl: name {node.id!r} not allowed")
+    if isinstance(node, ast.Subscript):
+        container = _safe_eval(node.value, namespace)
+        key = _safe_eval(node.slice, namespace)
+        return container[key]
+    if isinstance(node, ast.Call) and isinstance(node.func, ast.Name) \
+            and node.func.id in ("_D", "_undef_dicts") and not node.keywords:
+        fn = namespace[node.func.id]
+        return fn(*[_safe_eval(a, namespace) for a in node.args])
+    raise ValueError(
+        f"legacy .jl: unsupported expression node {type(node).__name__}"
+    )
+
+
 def _julia_literal(expr: str, env: Dict[str, Any] = None):
     for pat, rep in _REPLACEMENTS:
         expr = pat.sub(rep, expr)
     namespace = {"_D": _dictcall, "_undef_dicts": _undef_dicts}
     if env:
         namespace.update(env)  # RHS may reference the dicts: 1 / md["MDsteps"]
-    return eval(  # noqa: S307 - mirrors the reference's include() of the file
-        compile(expr, "<legacy-jl>", "eval"), {"__builtins__": {}}, namespace
-    )
+    return _safe_eval(ast.parse(expr, mode="eval"), namespace)
 
 
 # All legacy dicts the reference's include() environment provides

@@ -83,3 +83,35 @@ def test_read_wilson_loop_roundtrip(tmp_path):
     assert set(mats) == {1, 2}
     assert mats[1].shape == (2, 3)
     assert abs(mats[2][1, 2] - 0.5 ** 6 * 2) < 1e-15
+
+
+def test_creutz_ratio_guards_small_extents():
+    """r or t < 2 must not wrap to negative indices (ADVICE r3): the
+    chi(1,t) numerator would silently use the largest-R loops."""
+    import math
+
+    import numpy as np
+
+    from latticeqcd_tpu.analysis import creutz_ratio
+
+    w = np.exp(-0.3 * np.outer(np.arange(1, 5), np.arange(1, 5)))
+    assert math.isnan(creutz_ratio(w, 1, 3))
+    assert math.isnan(creutz_ratio(w, 3, 1))
+    assert math.isnan(creutz_ratio(w, 5, 2))  # out of range too
+    assert not math.isnan(creutz_ratio(w, 2, 2))
+
+
+def test_read_wilson_loop_with_additional_string_prefix(tmp_path):
+    """Flowed measurements prefix `{istep} {tau} ` via additional_string
+    (lqcd.py:231); r,t,w must be parsed from the right (ADVICE r3)."""
+    from latticeqcd_tpu.analysis import read_wilson_loop
+
+    fn = tmp_path / "Wilson_loop.txt"
+    fn.write_text(
+        "5 3 0.15 2 3 0.125 # RxT wilson loop\n"
+        "5 3 0.15 1 1 0.5 # RxT wilson loop\n"
+    )
+    mats = read_wilson_loop(fn)
+    assert mats[5].shape == (2, 3)
+    assert abs(mats[5][1, 2] - 0.125) < 1e-15
+    assert abs(mats[5][0, 0] - 0.5) < 1e-15

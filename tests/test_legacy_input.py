@@ -53,3 +53,36 @@ def test_other_reference_legacy_files_parse(reference_dir, jlname, tmp_path, mon
     toml_path = transform_to_toml(str(tmp_path / jlname))
     p = construct_params_from_toml(toml_path, make_dirs=False)
     assert p.L == (4, 4, 4, 4)
+
+
+def test_legacy_eval_is_restricted(tmp_path):
+    """parse_legacy_jl must not execute arbitrary expressions: the old
+    bare-eval approach was escapable via literal attribute chains
+    (ADVICE r3); the AST walker rejects attribute access and unknown
+    names instead of evaluating them."""
+    import pytest as _pytest
+
+    from latticeqcd_tpu.system.legacy_input import parse_legacy_jl
+
+    bad = tmp_path / "evil.jl"
+    bad.write_text(
+        'system["L"] = ().__class__.__mro__[1].__subclasses__()\n'
+    )
+    with _pytest.raises(ValueError):
+        parse_legacy_jl(str(bad))
+
+    bad2 = tmp_path / "evil2.jl"
+    bad2.write_text('system["L"] = __import__("os").getcwd()\n')
+    with _pytest.raises(ValueError):
+        parse_legacy_jl(str(bad2))
+
+    # the arithmetic the real files use still works
+    ok = tmp_path / "ok.jl"
+    ok.write_text(
+        'md["MDsteps"] = 20\n'
+        'md["dtau"] = 1/md["MDsteps"]\n'
+        'system["L"] = [4, 4, 4, 2*2]\n'
+    )
+    d = parse_legacy_jl(str(ok))
+    assert d["md"]["dtau"] == 0.05
+    assert d["system"]["L"] == [4, 4, 4, 4]
