@@ -67,6 +67,89 @@ def _setup_jax():
     return jax
 
 
+def _now() -> str:
+    return time.strftime("%Y-%m-%dT%H:%M:%S", time.localtime())
+
+
+def _validate_c64_dslash(jax):
+    """Output-validity gate (VERDICT r3 weak #2): the flap-window TPU
+    can run programs to completion while computing garbage (plaquette
+    pinned at 1.0, VALIDATION.md). Before any timing is trusted, apply
+    the production Wilson D-slash to a small deterministic problem ON
+    DEVICE and compare elementwise against the CPU backend's answer on
+    the byte-identical inputs. Raises on mismatch so the tier fails
+    and nothing is merged into BENCH_partial."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from latticeqcd_tpu.ops import fields
+    from latticeqcd_tpu.ops.dirac.wilson import (
+        WilsonDirac, apply_boundary_phases, gaussian_spinor,
+    )
+
+    if jax.default_backend() == "cpu":
+        return  # dev box: device IS the cpu reference
+    cpu = jax.local_devices(backend="cpu")[0]
+    lat = (8, 8, 8, 8)
+    d = WilsonDirac(kappa=0.141139)
+    with jax.default_device(cpu):
+        u = apply_boundary_phases(
+            fields.hot_start(lat, 3, seed=7, dtype=jnp.complex64))
+        psi = gaussian_spinor(jax.random.PRNGKey(8), lat, 3, nspin=4,
+                              dtype=jnp.complex64)
+        ref = np.asarray(jax.jit(d.apply)(u, psi))
+    u_d = jax.device_put(np.asarray(u), jax.devices()[0])
+    psi_d = jax.device_put(np.asarray(psi), jax.devices()[0])
+    got = np.asarray(jax.jit(d.apply)(u_d, psi_d))
+    err = float(np.max(np.abs(ref - got)))
+    if not np.isfinite(err) or err > 1e-4:
+        raise RuntimeError(
+            f"device output validity check FAILED: max|cpu-dev| = {err} "
+            "(garbage-computing flap window?) — timing not trusted")
+
+
+def _validate_f32_window(jax, lat=(8, 8, 8, 8), interpret=False):
+    """tier0 validity gate: the f32 planar window kernel on a small
+    REAL problem on device vs the c64 XLA D-slash on CPU (the planar
+    representation is pure float32, so this runs in f32-only flap
+    windows — exactly where tier0 is used). lat/interpret are only
+    overridden by the harness test, which runs the pallas kernel in
+    interpret mode on a tiny lattice (no TPU in the suite)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from latticeqcd_tpu.ops import fields
+    from latticeqcd_tpu.ops.dirac import wilson_pallas as wp
+    from latticeqcd_tpu.ops.dirac.wilson import (
+        WilsonDirac, apply_boundary_phases, gaussian_spinor,
+    )
+
+    if jax.default_backend() == "cpu":
+        return
+    cpu = jax.local_devices(backend="cpu")[0]
+    kappa = 0.141139
+    with jax.default_device(cpu):
+        u = apply_boundary_phases(
+            fields.hot_start(lat, 3, seed=9, dtype=jnp.complex64))
+        psi = gaussian_spinor(jax.random.PRNGKey(10), lat, 3, nspin=4,
+                              dtype=jnp.complex64)
+        ref = np.asarray(jax.jit(WilsonDirac(kappa=kappa).apply)(u, psi))
+        psi_k = np.asarray(wp.psi_to_planes(psi))
+        u_k = np.asarray(wp.links_to_planes(u)[0])
+    dev = jax.devices()[0]
+    out_k = jax.jit(
+        lambda p, uu: wp.dslash_planes_window(p, uu, lat, kappa,
+                                              interpret=interpret)
+    )(jax.device_put(psi_k, dev), jax.device_put(u_k, dev))
+    got = np.asarray(wp.planes_to_psi_shaped(jax.device_put(
+        np.asarray(out_k), cpu), lat, dtype=jnp.complex64))
+    err = float(np.max(np.abs(ref - got)))
+    if not np.isfinite(err) or err > 1e-3:
+        raise RuntimeError(
+            f"tier0 output validity check FAILED: max|ref-dev| = {err} "
+            "(garbage-computing flap window?) — timing not trusted")
+
+
 # ----------------------------------------------------------------- tiers
 
 
@@ -80,6 +163,7 @@ def tier0_pallas():
 
     from latticeqcd_tpu.ops.dirac import wilson_pallas as wp
 
+    _validate_f32_window(jax)  # gate BEFORE timing (flap-window garbage)
     lat = (16, 16, 16, 32)
     key = jax.random.PRNGKey(0)
     psi_k = jax.random.normal(key, (32, 24, 16, 256), dtype=jnp.float32)
@@ -103,6 +187,8 @@ def tier0_pallas():
         "pallas_dslash_us": round(dt * 1e6, 1),
         "pallas_dslash_gflops": round(DSLASH_FLOP_PER_SITE * V16 / dt / 1e9, 1),
         "device": str(jax.devices()[0]),
+        "validity": "device output checked vs CPU on 8^4 (max|diff|<1e-3)",
+        "measured_at": _now(),
     }
 
 
@@ -118,6 +204,7 @@ def tier1_dslash():
         gaussian_spinor,
     )
 
+    _validate_c64_dslash(jax)  # gate BEFORE timing (flap-window garbage)
     lat = (16, 16, 16, 32)
     u = apply_boundary_phases(fields.hot_start(lat, 3, seed=0, dtype=jnp.complex64))
     psi = gaussian_spinor(jax.random.PRNGKey(1), lat, 3, nspin=4, dtype=jnp.complex64)
@@ -147,6 +234,8 @@ def tier1_dslash():
         "dslash_us": round(dt * 1e6, 1),
         "dslash_gflops": round(DSLASH_FLOP_PER_SITE * V16 / dt / 1e9, 1),
         "device": str(jax.devices()[0]),
+        "validity": "device output checked vs CPU on 8^4 (max|diff|<1e-4)",
+        "measured_at": _now(),
     }
 
 
@@ -187,13 +276,25 @@ def tier2_hmc(n_traj=20):
         n_acc += int(st["accepted"])
     jax.block_until_ready(u)
     wall = time.time() - t0
+    plaq = float(st["plaq"])
+    # Physics validity gate: a flap-window TPU has been observed to run
+    # programs while computing garbage (plaquette pinned at 1.0,
+    # VALIDATION.md). The 4^4 beta=6.0 2f Wilson chain starting from
+    # the thermalized beta5.7 conf must stay in the equilibrium band.
+    import math
+    if not math.isfinite(plaq) or not (0.40 < plaq < 0.80):
+        raise RuntimeError(
+            f"tier2 physics validity FAILED: final plaquette {plaq} outside "
+            "(0.40, 0.80) equilibrium band — timing not trusted")
     return {
         "wall_s": round(wall, 4),
-        "final_plaquette": round(float(st["plaq"]), 8),
+        "final_plaquette": round(plaq, 8),
         "accepted": n_acc,
         "precision": str(dtype),
         "eps_cg": eps,
         "device": str(jax.devices()[0]),
+        "validity": "final plaquette within (0.40, 0.80) equilibrium band",
+        "measured_at": _now(),
     }
 
 
@@ -287,6 +388,14 @@ def _merge_best(partial: dict, key: str, res: dict) -> None:
     _save_partial(partial)
 
 
+def _record(partial: dict, state: dict, key: str, res: dict) -> None:
+    """Merge into the best-across-runs partial AND remember this run's
+    fresh value (the headline reports both — VERDICT r3 weak #1: a
+    best-only headline can mask a regression or a degraded chip)."""
+    state.setdefault("fresh", {})[key] = dict(res)
+    _merge_best(partial, key, res)
+
+
 def _save_partial(p: dict) -> None:
     tmp = PARTIAL + ".tmp"
     with open(tmp, "w") as f:
@@ -294,22 +403,58 @@ def _save_partial(p: dict) -> None:
     os.replace(tmp, PARTIAL)
 
 
-def _headline(p: dict, last_err: str) -> dict:
+def _this_run(fresh: dict, key: str, field: str, best_val, lower_is_better=False):
+    """(value_this_run, measured_at_this_run, warn-or-None) for the
+    headline: the committed artifact must self-describe whether the
+    best-across-runs number was reproduced THIS run (VERDICT r3 weak
+    #1 — a best-only headline hides regressions and degraded chips)."""
+    f = fresh.get(key)
+    if not f:
+        return None, None, "best is from a PREVIOUS run; this run did not re-measure it"
+    v = f.get(field)
+    if v is None or best_val in (None, 0):
+        return v, f.get("measured_at"), None
+    ratio = (best_val / v) if lower_is_better else (v / best_val)
+    warn = None
+    if ratio < 0.85:
+        warn = (f"this run measured {v} — {100 * (1 - ratio):.0f}% below the "
+                "best-ever; possible kernel regression or degraded chip")
+    return v, f.get("measured_at"), warn
+
+
+def _headline(p: dict, last_err: str, fresh: dict = None) -> dict:
+    fresh = fresh or {}
     t0, t1, t2 = p.get("tier0"), p.get("tier1"), p.get("tier2")
+    notes = []
     if t2:
+        vtr, mtr, warn = _this_run(fresh, "tier2", "wall_s", t2["wall_s"],
+                                   lower_is_better=True)
         out = {
             "metric": "wilson_hmc_20traj_4^4_beta6.0_kappa0.141139_wallclock",
             "value": t2["wall_s"],
             "unit": "s",
             "vs_baseline": round(BASELINE_SECONDS / t2["wall_s"], 2),
             "baseline": f"{BASELINE_SECONDS} s LatticeQCD.jl on 2018 Mac mini i7",
+            "value_this_run": vtr,
+            "measured_at": t2.get("measured_at"),
+            "measured_at_this_run": mtr,
         }
-        out.update({k: v for k, v in t2.items() if k != "wall_s"})
+        if warn:
+            notes.append(warn)
+        out.update({k: v for k, v in t2.items() if k not in ("wall_s", "measured_at")})
         if t1:
             out["dslash_us_16c32"] = t1["dslash_us"]
             out["dslash_gflops_16c32"] = t1["dslash_gflops"]
+        if notes:
+            out["note"] = "; ".join(notes)
         return out
     if t1:
+        vtr, mtr, warn = _this_run(fresh, "tier1", "dslash_gflops",
+                                   t1["dslash_gflops"])
+        notes.append("HMC tier did not complete in budget"
+                     + (f": {last_err}" if last_err else ""))
+        if warn:
+            notes.append(warn)
         out = {
             "metric": "wilson_dslash_16^3x32_c64_gflops_per_chip",
             "value": t1["dslash_gflops"],
@@ -317,14 +462,23 @@ def _headline(p: dict, last_err: str) -> dict:
             "vs_baseline": round(t1["dslash_gflops"] / DSLASH_ROOFLINE_GFLOPS, 3),
             "baseline": f"single-chip HBM roofline {DSLASH_ROOFLINE_GFLOPS} GFLOP/s (PERF.md)",
             "dslash_us": t1["dslash_us"],
+            "value_this_run": vtr,
+            "measured_at": t1.get("measured_at"),
+            "measured_at_this_run": mtr,
             "device": t1.get("device"),
-            "note": "HMC tier did not complete in budget" + (f": {last_err}" if last_err else ""),
+            "note": "; ".join(notes),
         }
         if t0:
             out["pallas_dslash_us"] = t0["pallas_dslash_us"]
             out["pallas_dslash_gflops"] = t0["pallas_dslash_gflops"]
         return out
     if t0:
+        vtr, mtr, warn = _this_run(fresh, "tier0", "pallas_dslash_gflops",
+                                   t0["pallas_dslash_gflops"])
+        notes.append("complex64 tiers did not complete (f32-only flap window)"
+                     + (f": {last_err}" if last_err else ""))
+        if warn:
+            notes.append(warn)
         return {
             "metric": "wilson_dslash_pallas_window_16^3x32_f32_gflops_per_chip",
             "value": t0["pallas_dslash_gflops"],
@@ -332,9 +486,11 @@ def _headline(p: dict, last_err: str) -> dict:
             "vs_baseline": round(t0["pallas_dslash_gflops"] / DSLASH_ROOFLINE_GFLOPS, 3),
             "baseline": f"single-chip HBM roofline {DSLASH_ROOFLINE_GFLOPS} GFLOP/s (PERF.md)",
             "pallas_dslash_us": t0["pallas_dslash_us"],
+            "value_this_run": vtr,
+            "measured_at": t0.get("measured_at"),
+            "measured_at_this_run": mtr,
             "device": t0.get("device"),
-            "note": "complex64 tiers did not complete (f32-only flap window)"
-            + (f": {last_err}" if last_err else ""),
+            "note": "; ".join(notes),
         }
     return {
         "metric": "wilson_hmc_20traj_4^4_beta6.0_kappa0.141139_wallclock",
@@ -360,7 +516,7 @@ def main():
     state = {"last_err": ""}
 
     def _emit(*_a):
-        print(json.dumps(_headline(partial, state["last_err"])), flush=True)
+        print(json.dumps(_headline(partial, state["last_err"], state.get("fresh"))), flush=True)
         os._exit(0)
 
     signal.signal(signal.SIGTERM, _emit)
@@ -377,7 +533,7 @@ def main():
 
         traceback.print_exc(file=sys.stderr)
     finally:
-        print(json.dumps(_headline(partial, state["last_err"])), flush=True)
+        print(json.dumps(_headline(partial, state["last_err"], state.get("fresh"))), flush=True)
 
 
 def _detect_backend() -> str:
@@ -404,7 +560,7 @@ def _orchestrate(partial: dict, state: dict) -> None:
         for flag, key in (("--tier1", "tier1"), ("--tier2", "tier2")):
             res, err = _run_tier(flag, _remaining())
             if res:
-                _merge_best(partial, key, res)
+                _record(partial, state, key, res)
             else:
                 state["last_err"] = err or ""
         return
@@ -424,7 +580,7 @@ def _orchestrate(partial: dict, state: dict) -> None:
             if not ran["tier0"] and fails["tier0"] < 2 and _tpu_f32_healthy():
                 res, err = _run_tier("--tier0", min(_remaining() - 20, 420))
                 if res:
-                    _merge_best(partial, "tier0", res)
+                    _record(partial, state, "tier0", res)
                     ran["tier0"] = True
                     sys.stderr.write(f"# tier0 ok (f32-only window): {res}\n")
                 else:
@@ -445,7 +601,7 @@ def _orchestrate(partial: dict, state: dict) -> None:
         if any_c64_fail and not ran["tier0"] and fails["tier0"] < 2:
             res, err = _run_tier("--tier0", min(_remaining() - 20, 420))
             if res:
-                _merge_best(partial, "tier0", res)
+                _record(partial, state, "tier0", res)
                 ran["tier0"] = True
                 sys.stderr.write(f"# tier0 ok (banked after c64 failure): {res}\n")
             else:
@@ -455,7 +611,7 @@ def _orchestrate(partial: dict, state: dict) -> None:
         if not ran["tier1"] and fails["tier1"] < 3:
             res, err = _run_tier("--tier1", min(_remaining() - 20, 420))
             if res:
-                _merge_best(partial, "tier1", res)
+                _record(partial, state, "tier1", res)
                 ran["tier1"] = True
                 sys.stderr.write(f"# tier1 ok: {res}\n")
             else:
@@ -470,7 +626,7 @@ def _orchestrate(partial: dict, state: dict) -> None:
         if want_t2 and fails["tier2"] < 4:
             res, err = _run_tier("--tier2", min(_remaining() - 10, 600))
             if res:
-                _merge_best(partial, "tier2", res)
+                _record(partial, state, "tier2", res)
                 ran["tier2"] = True
                 sys.stderr.write(f"# tier2 ok: {res}\n")
             else:
