@@ -118,6 +118,60 @@ def test_strong_coupling_plaquette_anchor(nc, beta):
 
 
 # ---------------------------------------------------------------------------
+# Weak-coupling (one-loop lattice PT) anchor — the opposite limit of the
+# strong-coupling test above, de-circularizing the deconfined regime
+# (VERDICT r3 next #4).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("nc,betas,pt_tol", [(2, (8.0, 16.0), 0.015),
+                                             (3, (12.0, 24.0), 0.015)])
+def test_weak_coupling_plaquette_one_loop_anchor(nc, betas, pt_tol):
+    """One-loop lattice perturbation theory: by equipartition of the
+    quadratic fluctuation action, beta*(1 - <P>) -> c1 = (NC^2-1)/4 as
+    beta -> inf (for SU(3) this is the textbook <1-P> = 2/beta +
+    1.2208/beta^2 + ... series). Finite 4^4 volume removes the V
+    toron/gauge zero modes from the count: c1 *= (1 - 1/V).
+
+    The O(1/beta) correction to f(beta) = beta*(1-<P>) is cancelled by
+    Richardson extrapolation over (beta, 2 beta): c1_est = 2 f(2b) -
+    f(b), leaving a residual c3*(2/(2b)^2 - 1/b^2) = -c3/(2 b^2).
+    Tolerance: 4 sigma_MC + 1.5% of c1 — for SU(3) the known series
+    (c2 = 1.2208, c3 ~ 2.96) puts the residual at ~0.5% of c1; the
+    SU(2) series coefficients are of the same relative size. Measured
+    2026-08-21 (cold start, 60 therm + 150 meas per beta): SU(2)
+    c1_est = 0.7555 +- 0.0084 vs 0.7471 (+1.1%); SU(3) 1.9826 +-
+    0.0130 vs 1.9922 (-0.5%). The measured f(12) = 2.122 for SU(3)
+    also reproduces the published 1/beta term: 2 + 1.2208/12 = 2.102.
+    """
+    V = 256.0
+    c1_th = (nc * nc - 1) / 4.0 * (1.0 - 1.0 / V)
+
+    def run(beta):
+        hb = Heatbath(action=ga.wilson_gauge_action(nc, beta))
+        u = fields.cold_start((4, 4, 4, 4), nc, dtype=jnp.complex128)
+        key = jax.random.PRNGKey(int(beta))
+        for _ in range(60):
+            u, key = hb.sweep(u, key)
+        ps = []
+        for _ in range(150):
+            u, key = hb.sweep(u, key)
+            ps.append(float(ga.mean_plaquette(u)))
+        ps = np.asarray(ps)
+        return ps.mean(), ps.std() / np.sqrt(len(ps) / 4.0)
+
+    beta_l, beta_s = betas
+    m_l, e_l = run(beta_l)
+    m_s, e_s = run(beta_s)
+    f_l, f_s = beta_l * (1.0 - m_l), beta_s * (1.0 - m_s)
+    c1_est = 2.0 * f_s - f_l
+    sigma = np.sqrt(4.0 * (beta_s * e_s) ** 2 + (beta_l * e_l) ** 2)
+    band = 4.0 * sigma + pt_tol * c1_th
+    assert abs(c1_est - c1_th) < band, (nc, c1_est, c1_th, sigma, band)
+
+
+# ---------------------------------------------------------------------------
 # Free-field momentum-space anchors
 # ---------------------------------------------------------------------------
 
