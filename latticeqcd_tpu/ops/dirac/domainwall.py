@@ -92,3 +92,126 @@ class DomainwallDirac:
 
     def apply_ddag_d(self, u, psi):
         return self.apply_dagger(u, self.apply(u, psi))
+
+    # ------------------------------------------------------------------
+    # 4D-checkerboard (even-odd) Schur preconditioning (VERDICT r3
+    # weak #5). The 5D operator splits by 4D site parity as
+    #
+    #     D = [[A, B_eo], [B_oe, A]],   det D = det(A) det(Shat),
+    #     Shat = A - B_eo A^-1 B_oe,
+    #
+    # where B is the (mass-independent) 4D Wilson hop and A collects
+    # everything 4D-site-local: the diagonal (4r + M + 1) and the L5
+    # couplings -P- psi_{s+1} - P+ psi_{s-1} with the mass boundaries.
+    # A carries NO link dependence, so det(A) is a constant of the
+    # gauge field and the U-dependent part of det D is det(Shat) —
+    # pseudofermions can live on half-volume PACKED even fields with
+    # the better-conditioned Shat, exactly as the Wilson Dhat path
+    # (fermion_action.py WilsonFermiAction). The L5 axis stays local
+    # (SURVEY.md 7.4): A^-1 is a pair of precomputed L5 x L5 matrices
+    # (one per chirality, since A = P+ (d - S-) + P- (d - S+) with
+    # diagonal gamma5), applied as a site-local einsum — MXU-friendly,
+    # no solver inside the operator.
+    # ------------------------------------------------------------------
+
+    def _chiral_masks(self, psi):
+        """(P+, P-) as (...,4,1)-broadcastable diagonal spin masks."""
+        rdt = jnp.float64 if psi.dtype == jnp.complex128 else jnp.float32
+        g5 = np.diag(gammas.GAMMA5).real
+        shape = (1,) * (psi.ndim - 2) + (4, 1)
+        pp = jnp.asarray(((1.0 + g5) / 2.0).reshape(shape), dtype=rdt)
+        pm = jnp.asarray(((1.0 - g5) / 2.0).reshape(shape), dtype=rdt)
+        return pp, pm
+
+    def _a_mats(self):
+        """(A+, A-) as numpy L5 x L5: A+- = d I - S-+ with the -m
+        corner, d = 4r + M + 1 (host-side, trace-time constants)."""
+        d = 4.0 * self.r + self.m5 + 1.0
+        l5 = self.l5
+        s_up = np.zeros((l5, l5))  # (S+ psi)_s = psi_{s+1}, corner -m
+        s_dn = np.zeros((l5, l5))
+        for s in range(l5 - 1):
+            s_up[s, s + 1] = 1.0
+            s_dn[s + 1, s] = 1.0
+        s_up[l5 - 1, 0] = -self.mass
+        s_dn[0, l5 - 1] = -self.mass
+        a_plus = d * np.eye(l5) - s_dn  # P+ chirality couples to s-1
+        a_minus = d * np.eye(l5) - s_up  # P- chirality couples to s+1
+        return a_plus, a_minus
+
+    def _apply_l5(self, m_plus, m_minus, psi):
+        """P+ (M+ along s) psi + P- (M- along s) psi (site-local)."""
+        pp, pm = self._chiral_masks(psi)
+        mp = jnp.asarray(m_plus, dtype=psi.dtype)
+        mm = jnp.asarray(m_minus, dtype=psi.dtype)
+        return pp * jnp.einsum("lk,k...->l...", mp, psi) + pm * jnp.einsum(
+            "lk,k...->l...", mm, psi
+        )
+
+    def apply_a(self, psi):
+        """The 4D-site-local block A of D (any packing)."""
+        return self._apply_l5(*self._a_mats(), psi)
+
+    def apply_a_inv(self, psi):
+        """A^-1 psi via the precomputed chiral L5 x L5 inverses."""
+        a_plus, a_minus = self._a_mats()
+        return self._apply_l5(np.linalg.inv(a_plus), np.linalg.inv(a_minus), psi)
+
+    def packed_links(self, up):
+        """(U_even, U_odd) for phased links (delegates to eo_pack)."""
+        from latticeqcd_tpu.ops.dirac import eo_pack
+
+        return eo_pack.pack_links(up, up.shape[1:5])
+
+    @staticmethod
+    def pack5(f, lattice, parity: int):
+        """5D field (L5,X,Y,Z,T,...) -> packed (L5,X/2,Y,Z,T,...)."""
+        from latticeqcd_tpu.ops.dirac import eo_pack
+
+        return jax.vmap(lambda ff: eo_pack.pack(ff, lattice, parity))(f)
+
+    @staticmethod
+    def unpack5(fp, lattice, parity: int):
+        from latticeqcd_tpu.ops.dirac import eo_pack
+
+        return jax.vmap(lambda ff: eo_pack.unpack(ff, lattice, parity))(fp)
+
+    def _packed_hop(self, u_t, u_s, psi_p, target_parity: int):
+        """The Wilson-hop block B restricted to target_parity sites:
+        psi_p lives on the OPPOSITE parity, packed (L5,X/2,Y,Z,T,4,NC).
+        Same stencil inventory as the staggered packed dslash
+        (staggered.py _packed_dslash): 3 halo exchanges per sharded
+        axis (psi +mu, psi -mu, links -mu)."""
+        from latticeqcd_tpu.ops.dirac import eo_pack
+
+        lattice = (2 * u_t.shape[1],) + tuple(u_t.shape[2:5])
+        s_t = eo_pack.offset_field(lattice, target_parity)
+        pm, pp = gammas.projectors(self.r)
+        pm = jnp.asarray(pm, dtype=psi_p.dtype)
+        pp = jnp.asarray(pp, dtype=psi_p.dtype)
+        hop = 0.0
+        for mu in range(DIRS):
+            g_plus = jax.vmap(lambda f, m=mu: eo_pack.gather_plus(f, m, s_t))
+            g_minus = jax.vmap(lambda f, m=mu: eo_pack.gather_minus(f, m, s_t))
+            fwd = jnp.einsum("...ab,l...sb->l...sa", u_t[mu], g_plus(psi_p))
+            u_m = eo_pack.gather_minus(u_s[mu], mu, s_t)
+            bwd = jnp.einsum("...ba,l...sb->l...sa", jnp.conj(u_m), g_minus(psi_p))
+            hop = hop + jnp.einsum("st,l...tc->l...sc", pm[mu], fwd)
+            hop = hop + jnp.einsum("st,l...tc->l...sc", pp[mu], bwd)
+        return -0.5 * hop
+
+    def apply_schur(self, u_eo, phi_e: jnp.ndarray) -> jnp.ndarray:
+        """Shat phi = (A - B_eo A^-1 B_oe) phi on packed EVEN fields."""
+        u_e, u_o = u_eo
+        t = self._packed_hop(u_o, u_e, phi_e, target_parity=1)
+        t = self.apply_a_inv(t)
+        t = self._packed_hop(u_e, u_o, t, target_parity=0)
+        return self.apply_a(phi_e) - t
+
+    def apply_schur_dagger(self, u_eo, phi_e: jnp.ndarray) -> jnp.ndarray:
+        f = lambda v: self.apply_schur(u_eo, v)
+        (out,) = jax.linear_transpose(f, phi_e)(jnp.conj(phi_e))
+        return jnp.conj(out)
+
+    def apply_schur_ddag_d(self, u_eo, phi_e):
+        return self.apply_schur_dagger(u_eo, self.apply_schur(u_eo, phi_e))

@@ -383,6 +383,17 @@ class DomainwallFermiAction:
     The standard 2-flavor domain-wall measure (README.md:103
     "Standard Domainwall (experimental)"); heavy 5D bulk modes cancel
     between numerator and Pauli-Villars.
+
+    On all-even 4D lattices the pseudofermion lives on PACKED even
+    sites with the 4D-checkerboard Schur operator Shat = A - B_eo
+    A^-1 B_oe (domainwall.py apply_schur): det D = det(A) det(Shat)
+    and A is link-INDEPENDENT, so the U-dependent weight is
+    det(Shat_m^dag Shat_m)/det(Shat_PV^dag Shat_PV) — the same
+    measure, sampled on half-volume fields with a better-conditioned
+    operator (measured on the 4x4x2x2 reference scenario at m=0.3:
+    44 Schur CGNE iterations vs 94 full-volume, on half the sites).
+    Chronological warm starts (force_with_guess) thread the previous
+    MD step's solution into the force solve on both paths.
     """
 
     dirac: "object"  # DomainwallDirac at physical mass m
@@ -397,11 +408,19 @@ class DomainwallFermiAction:
     def _phased(self, u):
         return apply_boundary_phases(u, self.dirac.bc)
 
+    @staticmethod
+    def _eo(lattice) -> bool:
+        return all(l % 2 == 0 for l in lattice)
+
+    def _is_packed(self, u, phi) -> bool:
+        return 2 * phi.shape[1] == u.shape[1]
+
     @partial(jax.jit, static_argnums=0)
     def sample_pseudofermion(self, u, key):
-        """xi Gaussian 5D; phi = (D_PV^dag)^-1 D(m)^dag xi so that
-        S(phi) = |xi|^2 exactly. The PV solve uses CG on
-        D_PV^dag D_PV via phi = D_PV w."""
+        """xi Gaussian; phi = A_PV (A_PV^dag A_PV)^-1 A_m^dag xi with
+        A = Shat (packed even-odd path) or the full D, so that
+        S(phi) = |xi|^2 exactly (same identity as the reference's
+        Sfold = dot(xi,xi))."""
         up = self._phased(u)
         d = self.dirac
         pv = self._pv()
@@ -409,6 +428,20 @@ class DomainwallFermiAction:
         nc = u.shape[-1]
         rdtype = jnp.float64 if u.dtype == jnp.complex128 else jnp.float32
         k1, k2 = jax.random.split(key)
+        if self._eo(lattice):
+            shape = (d.l5, lattice[0] // 2) + tuple(lattice[1:]) + (4, nc)
+            xi = (
+                jax.random.normal(k1, shape, dtype=rdtype)
+                + 1j * jax.random.normal(k2, shape, dtype=rdtype)
+            ).astype(u.dtype) / float(np.sqrt(2.0))
+            ueo = d.packed_links(up)
+            rhs = d.apply_schur_dagger(ueo, xi)
+            w, _, _ = solvers.cg(
+                lambda v: pv.apply_schur_ddag_d(ueo, v), rhs,
+                eps=self.eps_cg, maxiter=self.max_cg,
+            )
+            phi = pv.apply_schur(ueo, w)
+            return jnp.real(inner(xi, xi)), phi
         shape = (d.l5,) + tuple(lattice) + (4, nc)
         xi = (
             jax.random.normal(k1, shape, dtype=rdtype)
@@ -421,43 +454,76 @@ class DomainwallFermiAction:
         phi = pv.apply(up, w)
         return jnp.real(inner(xi, xi)), phi
 
+    def _solve_normal(self, up, phi, x0=None):
+        """x = (A_m^dag A_m)^-1 phi, A = Shat (packed phi) or D."""
+        d = self.dirac
+        if self._is_packed(up, phi):
+            ueo = d.packed_links(up)
+            x, _, _ = solvers.cg(
+                lambda v: d.apply_schur_ddag_d(ueo, v), phi, x0=x0,
+                eps=self.eps_cg, maxiter=self.max_cg,
+            )
+            return x
+        x, _, _ = solvers.cg(
+            lambda v: d.apply_ddag_d(up, v), phi, x0=x0,
+            eps=self.eps_cg, maxiter=self.max_cg,
+        )
+        return x
+
     @partial(jax.jit, static_argnums=0)
     def action(self, u, phi):
         up = self._phased(u)
         d = self.dirac
         pv = self._pv()
-        b = pv.apply_dagger(up, phi)
-        x, _, _ = solvers.cg(
-            lambda v: d.apply_ddag_d(up, v), b, eps=self.eps_cg, maxiter=self.max_cg
-        )
+        if self._is_packed(up, phi):
+            b = pv.apply_schur_dagger(d.packed_links(up), phi)
+        else:
+            b = pv.apply_dagger(up, phi)
+        x = self._solve_normal(up, b)
         return jnp.real(inner(b, x))
 
     @partial(jax.jit, static_argnums=(0, 3))
     def force(self, u, phi, smear_fn=None):
-        """dS = 2 Re<phi, dD_PV X> - <X, d(D^dag D) X> with
-        X = (D^dag D)^-1 D_PV^dag phi held fixed (implicit diff)."""
+        """dS = 2 Re<phi, dA_PV X> - <X, d(A^dag A) X> with
+        X = (A^dag A)^-1 A_PV^dag phi held fixed (implicit diff)."""
+        return self._force_impl(u, phi, smear_fn, None)[0]
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def force_with_guess(self, u, phi, x0, smear_fn=None):
+        """Chronological inverter (see WilsonFermiAction.force_with_guess
+        — guess-independent at eps_cg, so MD reversibility is preserved
+        at the solver tolerance). Returns (force, x)."""
+        return self._force_impl(u, phi, smear_fn, x0)
+
+    def _force_impl(self, u, phi, smear_fn, x0):
         us = smear_fn(u) if smear_fn is not None else u
         up = self._phased(us)
         d = self.dirac
         pv = self._pv()
-        b = pv.apply_dagger(up, phi)
-        x, _, _ = solvers.cg(
-            lambda v: d.apply_ddag_d(up, v), b, eps=self.eps_cg, maxiter=self.max_cg
-        )
-        x = jax.lax.stop_gradient(x)
+        packed = self._is_packed(up, phi)
+        if packed:
+            b = pv.apply_schur_dagger(d.packed_links(up), phi)
+        else:
+            b = pv.apply_dagger(up, phi)
+        x = jax.lax.stop_gradient(self._solve_normal(up, b, x0=x0))
 
         def c(uu):
             uus = smear_fn(uu) if smear_fn is not None else uu
             uup = apply_boundary_phases(uus, d.bc)
-            t1 = 2.0 * jnp.real(inner(phi, pv.apply(uup, x)))
-            dx = d.apply(uup, x)
+            if packed:
+                ueo = d.packed_links(uup)  # differentiable select
+                t1 = 2.0 * jnp.real(inner(phi, pv.apply_schur(ueo, x)))
+                dx = d.apply_schur(ueo, x)
+            else:
+                t1 = 2.0 * jnp.real(inner(phi, pv.apply(uup, x)))
+                dx = d.apply(uup, x)
             t2 = jnp.real(inner(dx, dx))
             return t1 - t2
 
         g = jax.grad(c)(u)
         # dS = +dc here (c built so its derivative IS dS), so
         # Hdot = -(1/2) proj_TH(i U g^T) = -_project_force(u, g)
-        return -_project_force(u, g)
+        return -_project_force(u, g), x
 
 
 # ---------------------------------------------------------------------------

