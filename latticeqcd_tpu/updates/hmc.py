@@ -138,6 +138,58 @@ class HMC:
         u_out = jnp.where(accept, u, u0)
         return u_out, accept, d_h, sp_new, sg_new, ga.mean_plaquette(u_out)
 
+    def _staged_md_core(self, u, h, uk_update, u_update, gauge_kick,
+                        fermion_kick):
+        """Non-SW staged MD orchestration (QPQ/PQP/Omelyan) over
+        abstract primitives — shared by the single-chain staged path
+        (plain jitted programs) and step_batched's staged variant
+        (vmapped programs), so the merged-half-step program structure
+        cannot drift between them."""
+        dtau = self.dtau
+        if self.scheme == "QPQ":
+            # QPQ with adjacent half-steps merged across MD steps:
+            # [u(1/2);kick_g] CG  ([u(1);kick_g] CG)^(N-1)  u(1/2)
+            # — 2 programs per step instead of 4 (dispatch latency
+            # dominates at small volume on the remote TPU)
+            u, h = uk_update(u, h, 0.5 * dtau, dtau)
+            if not self.quench:
+                h = fermion_kick(u, h, dtau)
+            for _ in range(self.md_steps - 1):
+                u, h = uk_update(u, h, dtau, dtau)
+                if not self.quench:
+                    h = fermion_kick(u, h, dtau)
+            u = u_update(u, h, 0.5 * dtau)
+        elif self.scheme == "PQP":
+            # PQP with adjacent half-kicks merged across MD steps:
+            # kick(1/2) ([u(1);kick(1)] CG)^(N-1) [u(1);kick(1/2)] CG
+            # (runMD_PQP!, standardMD.jl:170-190)
+            h = gauge_kick(u, h, 0.5 * dtau)
+            if not self.quench:
+                h = fermion_kick(u, h, 0.5 * dtau)
+            for i in range(self.md_steps):
+                eps_h = dtau if i < self.md_steps - 1 else 0.5 * dtau
+                u, h = uk_update(u, h, dtau, eps_h)
+                if not self.quench:
+                    h = fermion_kick(u, h, eps_h)
+        else:
+            # Omelyan 2MN (integrators.omelyan_pqp), adjacent lam-kicks
+            # merged across MD steps:
+            # kick(lam) ([u(1/2);kick(1-2lam)] CG [u(1/2);kick(c)] CG)^N
+            # with c = 2 lam except lam on the final step
+            lam = self.omelyan_lambda
+            h = gauge_kick(u, h, lam * dtau)
+            if not self.quench:
+                h = fermion_kick(u, h, lam * dtau)
+            for i in range(self.md_steps):
+                u, h = uk_update(u, h, 0.5 * dtau, (1.0 - 2.0 * lam) * dtau)
+                if not self.quench:
+                    h = fermion_kick(u, h, (1.0 - 2.0 * lam) * dtau)
+                c = lam if i == self.md_steps - 1 else 2.0 * lam
+                u, h = uk_update(u, h, 0.5 * dtau, c * dtau)
+                if not self.quench:
+                    h = fermion_kick(u, h, c * dtau)
+        return u, h
+
     def _step_staged(self, u, key):
         u0 = u  # restored on reject (standardHMC.jl:45,85)
         key, k_mom, k_ferm, k_acc = jax.random.split(key, 4)
@@ -227,50 +279,11 @@ class HMC:
                 u, h = gauge_segment(u, h, self.nsw // 2)
                 h = fermion_kick(u, h, dtau)
                 u, h = gauge_segment(u, h, self.nsw // 2)
-        elif self.scheme == "QPQ":
-            # QPQ with adjacent half-steps merged across MD steps:
-            # [u(1/2);kick_g] CG  ([u(1);kick_g] CG)^(N-1)  u(1/2)
-            # — 2 programs per step instead of 4 (dispatch latency
-            # dominates at small volume on the remote TPU)
-            u, h = self._uk_update_jit(u, h, 0.5 * dtau, dtau)
-            if not self.quench:
-                h = fermion_kick(u, h, dtau)
-            for _ in range(self.md_steps - 1):
-                u, h = self._uk_update_jit(u, h, dtau, dtau)
-                if not self.quench:
-                    h = fermion_kick(u, h, dtau)
-            u = self._u_update_jit(u, h, 0.5 * dtau)
-        elif self.scheme == "PQP":
-            # PQP with adjacent half-kicks merged across MD steps:
-            # kick(1/2) ([u(1);kick(1)] CG)^(N-1) [u(1);kick(1/2)] CG
-            # (runMD_PQP!, standardMD.jl:170-190)
-            h = self._gauge_kick_jit(u, h, 0.5 * dtau)
-            if not self.quench:
-                h = fermion_kick(u, h, 0.5 * dtau)
-            for i in range(self.md_steps):
-                eps_h = dtau if i < self.md_steps - 1 else 0.5 * dtau
-                u, h = self._uk_update_jit(u, h, dtau, eps_h)
-                if not self.quench:
-                    h = fermion_kick(u, h, eps_h)
         else:
-            # Omelyan 2MN (integrators.omelyan_pqp), adjacent lam-kicks
-            # merged across MD steps:
-            # kick(lam) ([u(1/2);kick(1-2lam)] CG [u(1/2);kick(c)] CG)^N
-            # with c = 2 lam except lam on the final step
-            lam = self.omelyan_lambda
-            h = self._gauge_kick_jit(u, h, lam * dtau)
-            if not self.quench:
-                h = fermion_kick(u, h, lam * dtau)
-            for i in range(self.md_steps):
-                u, h = self._uk_update_jit(
-                    u, h, 0.5 * dtau, (1.0 - 2.0 * lam) * dtau
-                )
-                if not self.quench:
-                    h = fermion_kick(u, h, (1.0 - 2.0 * lam) * dtau)
-                c = lam if i == self.md_steps - 1 else 2.0 * lam
-                u, h = self._uk_update_jit(u, h, 0.5 * dtau, c * dtau)
-                if not self.quench:
-                    h = fermion_kick(u, h, c * dtau)
+            u, h = self._staged_md_core(
+                u, h, self._uk_update_jit, self._u_update_jit,
+                self._gauge_kick_jit, fermion_kick,
+            )
 
         s_f_new = 0.0
         if not self.quench:
@@ -400,25 +413,159 @@ class HMC:
         return jax.vmap(self._step_fused)(us, keys)
 
     def step_batched(self, us: jnp.ndarray, keys: jnp.ndarray):
-        """N independent Markov chains per device as ONE program:
-        us[n, 4, X, Y, Z, T, NC, NC], keys[n, 2] -> (us', keys', stats
-        with a leading chain axis).
+        """N independent Markov chains per device: us[n, 4, X, Y, Z, T,
+        NC, NC], keys[n, 2] -> (us', keys', stats with a leading chain
+        axis).
 
         A TPU-native capability with no reference counterpart: at small
         volume (the reference's 4^4 headline benchmark) a single
         trajectory cannot fill the chip and — on a remote backend —
         pays per-program dispatch latency, so batching chains multiplies
         ensemble throughput (configs/hour) at nearly constant
-        wall-clock per step. Uses the fused path: the vmapped CG
-        while_loops sit at program top level (not inside lax loop
-        bodies), which the axon runtime supports. Chains are
-        statistically independent given independent keys; each carries
-        its own momenta, pseudofermions and Metropolis decision."""
+        wall-clock per step. Chains are statistically independent given
+        independent keys; each carries its own momenta, pseudofermions
+        and Metropolis decision.
+
+        Path selection mirrors step(): one fused vmapped program on
+        CPU / quenched, but the STAGED multi-program variant for
+        dynamical chains off-CPU (VERDICT r3 next #9) — the axon
+        remote compiler stalls on large fused dynamical graphs, and a
+        vmapped one is strictly larger; the staged variant vmaps each
+        small program instead (the batched CG while_loops still sit at
+        program top level, which the axon runtime supports)."""
         if us.ndim != 8:
             raise ValueError(
                 f"us must be [nchain, 4, X, Y, Z, T, NC, NC], got shape {us.shape}"
             )
+        if self._use_staged():
+            return self._step_staged_batched(us, keys)
         return self._step_batched_jit(us, keys)
+
+    # Batched-staged primitives: each is the vmap of the corresponding
+    # single-chain program, jitted as its own small program (jit-of-jit
+    # inlines, so the compile unit stays one MD segment x n chains).
+    @partial(jax.jit, static_argnums=(0, 3, 4))
+    def _uk_update_b_jit(self, us, hs, eps_u, eps_h):
+        return jax.vmap(lambda u, h: self._uk_update_jit(u, h, eps_u, eps_h))(us, hs)
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _u_update_b_jit(self, us, hs, eps):
+        return jax.vmap(lambda u, h: self._u_update_jit(u, h, eps))(us, hs)
+
+    @partial(jax.jit, static_argnums=0)
+    def _gauge_kick_b_jit(self, us, hs, eps):
+        return jax.vmap(lambda u, h: self._gauge_kick_jit(u, h, eps))(us, hs)
+
+    @partial(jax.jit, static_argnums=0)
+    def _begin_b_jit(self, us, keys):
+        return jax.vmap(self._begin_jit)(us, keys)
+
+    @partial(jax.jit, static_argnums=0)
+    def _finish_b_jit(self, u0s, us, hs, s_olds, s_f_news, k_accs):
+        return jax.vmap(self._finish_jit)(u0s, us, hs, s_olds, s_f_news, k_accs)
+
+    @partial(jax.jit, static_argnums=0)
+    def _sample_pf_b_jit(self, us, keys):
+        return jax.vmap(
+            lambda u, k: self.fermi_action.sample_pseudofermion(self._smear(u), k)
+        )(us, keys)
+
+    @partial(jax.jit, static_argnums=0)
+    def _faction_b_jit(self, us, etas):
+        return jax.vmap(
+            lambda u, e: jnp.real(self.fermi_action.action(self._smear(u), e))
+        )(us, etas)
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def _fkick_cold_b_jit(self, us, hs, etas, eps):
+        """First fermion kick (no chronological guess yet). Returns
+        (hs', per-chain CG solutions) when the action supports warm
+        starts, else (hs', None)."""
+        fa = self.fermi_action
+        smear_fn = self.smearing.smear if self.smearing is not None else None
+        if hasattr(fa, "force_with_guess"):
+            def one(u, h, e):
+                f, x = fa.force_with_guess(u, e, None, smear_fn=smear_fn)
+                return h + eps * f, x
+
+            return jax.vmap(one)(us, hs, etas)
+
+        def one(u, h, e):
+            return h + eps * fa.force(u, e, smear_fn=smear_fn)
+
+        return jax.vmap(one)(us, hs, etas), None
+
+    @partial(jax.jit, static_argnums=(0, 5))
+    def _fkick_warm_b_jit(self, us, hs, etas, xgs, eps):
+        fa = self.fermi_action
+        smear_fn = self.smearing.smear if self.smearing is not None else None
+
+        def one(u, h, e, xg):
+            f, x = fa.force_with_guess(u, e, xg, smear_fn=smear_fn)
+            return h + eps * f, x
+
+        return jax.vmap(one)(us, hs, etas, xgs)
+
+    def _step_staged_batched(self, us, keys):
+        """Staged multi-program trajectory for n independent chains:
+        the same merged-program structure as _step_staged (shared
+        _staged_md_core), with every program vmapped over the chain
+        axis and per-chain chronological warm starts threaded between
+        programs on the host."""
+        if self.md_steps < 1:
+            raise ValueError(f"MDsteps must be >= 1, got {self.md_steps}")
+        if self.sexton_weingarten:
+            raise ValueError(
+                "step_batched: SextonWeingarten/Hasenbusch timescale "
+                "splits are single-chain-only (use step per chain)"
+            )
+        if self.scheme not in ("QPQ", "PQP", "Omelyan"):
+            raise ValueError(f"unknown MD scheme {self.scheme!r}")
+        u0s = us
+        ks = jax.vmap(lambda k: jax.random.split(k, 4))(keys)
+        keys_out, k_mom, k_ferm, k_acc = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
+        hs, sp_old, sg_old = self._begin_b_jit(us, k_mom)
+        n = us.shape[0]
+        rdtype = jnp.float64 if us.dtype == jnp.complex128 else jnp.float32
+        s_f_old = jnp.zeros((n,), dtype=rdtype)
+        etas = None
+        if not self.quench:
+            s_f_old, etas = self._sample_pf_b_jit(us, k_ferm)
+        s_old = sp_old + sg_old + s_f_old
+
+        guess = {"x": None, "warm": False}
+
+        def fermion_kick(u, h, eps):
+            if not guess["warm"]:
+                h2, x = self._fkick_cold_b_jit(u, h, etas, eps)
+                guess["x"], guess["warm"] = x, x is not None
+                return h2
+            h2, guess["x"] = self._fkick_warm_b_jit(u, h, etas, guess["x"], eps)
+            return h2
+
+        u, h = self._staged_md_core(
+            us, hs, self._uk_update_b_jit, self._u_update_b_jit,
+            self._gauge_kick_b_jit, fermion_kick,
+        )
+
+        s_f_new = jnp.zeros((n,), dtype=rdtype)
+        if not self.quench:
+            s_f_new = self._faction_b_jit(u, etas)
+        u_out, accept, d_h, sp_new, sg_new, plaq = self._finish_b_jit(
+            u0s, u, h, s_old.astype(rdtype), s_f_new.astype(rdtype), k_acc
+        )
+        stats = {
+            "accepted": accept,
+            "dH": d_h,
+            "sg_old": sg_old,
+            "sg_new": sg_new,
+            "sp_old": sp_old,
+            "sp_new": sp_new,
+            "sf_old": s_f_old,
+            "sf_new": s_f_new,
+            "plaq": plaq,
+        }
+        return u_out, keys_out, stats
 
     # ------------------------------------------------------------- helpers
     def _smear(self, u):

@@ -210,6 +210,33 @@ def bench_multichain(nchain=4, lat=None):
     print(f"multichain{nchain}_{name}_speedup_vs_serial {t_single*nchain/t_batch:.2f}",
           flush=True)
 
+    # Dynamical staged-batched variant (round 4, VERDICT r3 next #9):
+    # 2f Wilson on the reference's 4^4 headline shape; step_batched
+    # auto-selects the staged multi-program path off-CPU, so this is
+    # the TPU evidence for the vmapped staged programs.
+    from latticeqcd_tpu.ops.dirac.wilson import WilsonDirac
+    from latticeqcd_tpu.ops.fermion_action import WilsonFermiAction
+
+    fa = WilsonFermiAction(WilsonDirac(kappa=0.141139), eps_cg=1e-12, max_cg=3000)
+    hmc_d = HMC(action=ga.wilson_gauge_action(3, 6.0), dtau=0.1, md_steps=10,
+                fermi_action=fa)
+    lat_d = (4, 4, 4, 4)
+    us_d = jnp.stack(
+        [fields.hot_start(lat_d, 3, seed=s, dtype=jnp.complex64)
+         for s in range(nchain)]
+    )
+    keys_d = jax.vmap(jax.random.PRNGKey)(jnp.arange(nchain) + 100)
+    us_d, keys_d, st_d = hmc_d.step_batched(us_d, keys_d)  # compile
+    _ = float(st_d["plaq"][0])
+    t0 = time.time()
+    for _ in range(3):
+        us_d, keys_d, st_d = hmc_d.step_batched(us_d, keys_d)
+        _ = float(st_d["plaq"][0])
+    t_dyn = (time.time() - t0) / 3
+    path = "staged" if hmc_d._use_staged() else "fused"
+    print(f"multichain{nchain}_dyn4x4x4x4_{path}_traj_s_per_chain "
+          f"{t_dyn/nchain:.4f}", flush=True)
+
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
