@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from latticeqcd_tpu.ops import solvers
+from latticeqcd_tpu.ops.dirac.gammas import GAMMA5
 from latticeqcd_tpu.ops.dirac.staggered import StaggeredDirac
 from latticeqcd_tpu.ops.dirac.wilson import (
     WilsonDirac,
@@ -164,6 +165,68 @@ def _solve_dinv(dirac, up, b, eps, maxiter):
     return _solve_dinv_multi(dirac, up, b[None], eps, maxiter)[0]
 
 
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _dw_effective_propagator_multi(dirac, up, b4, eps, maxiter):
+    """4D effective quark propagator of the Shamir domain-wall operator
+    applied to a stack of 4D sources: q_i = S_F b_i.
+
+    BEYOND the reference: its domain-wall pion measurement errors out
+    ("Domainwall fermion is not implemented in Pion measurement!",
+    measure_Pion_correlator.jl:171) and its DW chiral condensate is
+    archived dead code (measurements/unusedfiles/). Standard
+    construction: the physical quark fields live on the walls,
+        q = P- psi_0 + P+ psi_{L5-1},
+        qbar = psibar_0 P+ + psibar_{L5-1} P-,
+    so S_F b = P- X_0 + P+ X_{L5-1} with D_dw(m) X = B,
+    B_s = delta_{s,0} P+ b + delta_{s,L5-1} P- b. The 5D solves run on
+    the packed even-odd Schur operator (domainwall.py apply_schur) on
+    all-even lattices — the same half-volume hot path HMC uses — and
+    batch over RHS through cg_multi_auto."""
+    lattice = tuple(up.shape[1:5])
+    l5 = dirac.l5
+    rdt = jnp.float64 if b4.dtype == jnp.complex128 else jnp.float32
+    g5 = jnp.asarray(np.diag(np.asarray(GAMMA5)).real, dtype=rdt)
+    p_plus = ((1.0 + g5) / 2.0)[:, None]
+    p_minus = ((1.0 - g5) / 2.0)[:, None]
+
+    def wall_source(b):  # (X,Y,Z,T,4,NC) -> (L5,X,Y,Z,T,4,NC)
+        b5 = jnp.zeros((l5,) + b.shape, dtype=b.dtype)
+        b5 = b5.at[0].set(p_plus * b)
+        return b5.at[l5 - 1].set(p_minus * b)
+
+    b5 = jax.vmap(wall_source)(b4)
+    if all(l % 2 == 0 for l in lattice):
+        d = dirac
+        ueo = d.packed_links(up)
+        u_e, u_o = ueo
+        b_e = jax.vmap(lambda f: d.pack5(f, lattice, 0))(b5)
+        b_o = jax.vmap(lambda f: d.pack5(f, lattice, 1))(b5)
+        hop_eo = jax.vmap(lambda v: d._packed_hop(u_e, u_o, v, target_parity=0))
+        hop_oe = jax.vmap(lambda v: d._packed_hop(u_o, u_e, v, target_parity=1))
+        ainv = jax.vmap(d.apply_a_inv)
+        rhs_e = b_e - hop_eo(ainv(b_o))
+        sdag = jax.vmap(lambda v: d.apply_schur_dagger(ueo, v))
+        x_e, _, _ = solvers.cg_multi_auto(
+            lambda v: d.apply_schur_dagger(ueo, d.apply_schur(ueo, v)),
+            sdag(rhs_e), eps=eps, maxiter=maxiter, force_mode=_solve_mode(),
+        )
+        x_o = ainv(b_o - hop_oe(x_e))
+        x5 = jax.vmap(lambda v: d.unpack5(v, lattice, 0))(x_e) + jax.vmap(
+            lambda v: d.unpack5(v, lattice, 1)
+        )(x_o)
+    else:
+        rhs = jax.vmap(lambda f: dirac.apply_dagger(up, f))(b5)
+        x5, _, _ = solvers.cg_multi_auto(
+            lambda v: dirac.apply_ddag_d(up, v), rhs, eps=eps,
+            maxiter=maxiter, force_mode=_solve_mode(),
+        )
+    return p_minus * x5[:, 0] + p_plus * x5[:, l5 - 1]
+
+
+def _is_domainwall(dirac) -> bool:
+    return hasattr(dirac, "l5")
+
+
 def chiral_condensate(u, dirac, key, nr: int = 10, nf_factor: float = 1.0,
                       eps: float = 1e-19, maxiter: int = 3000):
     """Returns (pbp_value, per-noise list)."""
@@ -180,7 +243,14 @@ def chiral_condensate(u, dirac, key, nr: int = 10, nf_factor: float = 1.0,
     r = jnp.stack(
         [z4_spinor(s, lattice, nc, nspin=nspin, dtype=u.dtype) for s in subs]
     )
-    p = _solve_dinv_multi(dirac, up, r, eps, maxiter)
+    if _is_domainwall(dirac):
+        # <qbar q> of the 4D effective (wall-to-wall) propagator; the
+        # standard DW contact term is not subtracted (documented
+        # convention — the reference has no working DW condensate to
+        # pin against, measurements/unusedfiles/)
+        p = _dw_effective_propagator_multi(dirac, up, r, eps, maxiter)
+    else:
+        p = _solve_dinv_multi(dirac, up, r, eps, maxiter)
     axes = tuple(range(1, r.ndim))
     per_noise = jnp.real(jnp.sum(jnp.conj(r) * p, axis=axes))
     vals = [float(v) / nv for v in per_noise]
@@ -205,7 +275,12 @@ def pion_correlator(u, dirac, eps: float = 1e-19, maxiter: int = 3000):
         for ic in range(nc):
             for isp in range(nspin):
                 b = b.at[ic * nspin + isp, 0, 0, 0, 0, isp, ic].set(1.0)
-    prop = _solve_dinv_multi(dirac, up, b, eps, maxiter)
+    if _is_domainwall(dirac):
+        # 4D effective propagator (gamma5-hermitian, so C_pi = sum|S|^2
+        # still holds); see _dw_effective_propagator_multi
+        prop = _dw_effective_propagator_multi(dirac, up, b, eps, maxiter)
+    else:
+        prop = _solve_dinv_multi(dirac, up, b, eps, maxiter)
     # sum over source batch, sink indices and space: |S|^2 per time slice
     mag2 = jnp.abs(prop) ** 2
     axes = (0, 1, 2, 3) + tuple(range(5, mag2.ndim))

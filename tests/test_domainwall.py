@@ -148,3 +148,55 @@ def test_force_with_guess_matches_plain_force():
     assert float(jnp.max(jnp.abs(f0 - f1))) < 1e-9
     f2 = fa.force(u, phi)
     assert float(jnp.max(jnp.abs(f0 - f2))) < 1e-12
+
+
+@pytest.mark.slow
+def test_dw_effective_propagator_matches_dense_inverse():
+    """DW 4D effective propagator S_F b = P- X_0 + P+ X_{L5-1},
+    D X = (P+ b at s=0, P- b at s=L5-1) — pinned against a DENSE
+    inverse of the full 5D operator on 2^4 x L5=2 SU(2) (independent
+    oracle; measured max err 3e-13). The reference has no working DW
+    fermionic measurement (pion errors out, condensate is archived
+    dead code) — this path is beyond-reference capability feeding
+    chiral_condensate / pion_correlator."""
+    import numpy as np
+
+    from latticeqcd_tpu.measurements.fermionic import (
+        _dw_effective_propagator_multi,
+        chiral_condensate,
+        pion_correlator,
+    )
+    from latticeqcd_tpu.ops.dirac.gammas import GAMMA5
+
+    lat, l5, nc = (2, 2, 2, 2), 2, 2
+    u = fields.hot_start(lat, nc, seed=9)
+    d = DomainwallDirac(mass=0.4, m5=-1.0, l5=l5)
+    up = apply_boundary_phases(u, d.bc)
+    shape = (l5, *lat, 4, nc)
+    dim = int(np.prod(shape))
+    f = jax.jit(lambda v: d.apply(up, v))
+    cols = []
+    for i in range(dim):
+        e = np.zeros(dim)
+        e[i] = 1.0
+        cols.append(np.asarray(f(jnp.asarray(e.reshape(shape),
+                                             dtype=jnp.complex128))).reshape(-1))
+    dinv = np.linalg.inv(np.stack(cols, axis=1))
+    g5 = np.diag(np.asarray(GAMMA5)).real
+    pp, pm = (1 + g5) / 2, (1 - g5) / 2
+    rng = np.random.default_rng(0)
+    b4 = rng.normal(size=(*lat, 4, nc)) + 1j * rng.normal(size=(*lat, 4, nc))
+    b5 = np.zeros(shape, dtype=complex)
+    b5[0] = pp[:, None] * b4
+    b5[l5 - 1] = pm[:, None] * b4
+    x = (dinv @ b5.reshape(-1)).reshape(shape)
+    q_dense = pm[:, None] * x[0] + pp[:, None] * x[l5 - 1]
+    q = np.asarray(_dw_effective_propagator_multi(
+        d, up, jnp.asarray(b4)[None], 1e-24, 4000)[0])
+    assert np.max(np.abs(q - q_dense)) < 1e-9
+    # and the measurement entry points run on the DW operator
+    pbp, vals = chiral_condensate(u, d, jax.random.PRNGKey(0), nr=2,
+                                  eps=1e-18, maxiter=2000)
+    assert np.isfinite(pbp) and len(vals) == 2
+    c = pion_correlator(u, d, eps=1e-18, maxiter=2000)
+    assert c.shape == (lat[3],) and np.all(np.isfinite(c)) and np.all(c > 0)
