@@ -40,11 +40,24 @@ def measure(nbytes_each=256 * 1024 * 1024):
 
     out = {"bytes_each": nbytes_each, "device": str(jax.devices()[0])}
 
+    def median_delta(f, x0):
+        """Median over 5 repeats of (12-rep chain - 2-rep chain)/10:
+        single deltas on the tunneled backend are noise-dominated in
+        degraded windows (observed NEGATIVE deltas and a 'passing'
+        copy/triad pair with a 2.8x ms ratio where 1.5x is physical,
+        2026-08-21 12:52)."""
+        import statistics
+
+        ds = []
+        for _ in range(5):
+            ds.append((chain_time(f, x0, 12) - chain_time(f, x0, 2)) / 10)
+        return statistics.median(ds)
+
     # copy-scale: read n + write n per pass
     f = jax.jit(lambda v: v * 1.000001)
     _ = f(x).block_until_ready()
     chain_time(f, x, 2)
-    dt = (chain_time(f, x, 12) - chain_time(f, x, 2)) / 10
+    dt = median_delta(f, x)
     out["copyscale_ms"] = round(dt * 1e3, 3)
     out["copyscale_gbps"] = round(2 * n * 4 / dt / 1e9, 1)
 
@@ -53,21 +66,27 @@ def measure(nbytes_each=256 * 1024 * 1024):
     g = jax.jit(lambda v: v * 1.000001 + y)
     _ = g(x).block_until_ready()
     chain_time(g, x, 2)
-    dt = (chain_time(g, x, 12) - chain_time(g, x, 2)) / 10
+    dt = median_delta(g, x)
     out["triad_ms"] = round(dt * 1e3, 3)
     out["triad_gbps"] = round(3 * n * 4 / dt / 1e9, 1)
     return out
 
 
 def _sane(out) -> bool:
-    """Reject flap-window garbage: non-positive chain deltas or
+    """Reject flap-window garbage: non-positive chain deltas,
     physically impossible rates (> 1.5x the v5e datasheet 819 GB/s —
-    observed 2026-08-21: copyscale_ms = -0.9, triad 3000 GB/s while
-    axon was half-down). A sane pass keeps exit code 0 so the watcher
-    marks the step done; garbage exits 1 for a later retry."""
-    return all(
-        out.get(k, -1) > 0 for k in ("copyscale_ms", "triad_ms")
-    ) and all(0 < out.get(k, -1) < 1230 for k in ("copyscale_gbps", "triad_gbps"))
+    observed: copyscale_ms = -0.9, triad 3000 GB/s while axon was
+    half-down), or a copy/triad pair that disagrees about the
+    bandwidth (both measure the same stream rate; require their GB/s
+    within 25% of each other — a 12:52 flap-window pass had 530 vs
+    281). A sane pass keeps exit code 0 so the watcher marks the step
+    done; garbage exits 1 for a later retry."""
+    if not all(out.get(k, -1) > 0 for k in ("copyscale_ms", "triad_ms")):
+        return False
+    c, t = out.get("copyscale_gbps", -1), out.get("triad_gbps", -1)
+    if not (0 < c < 1230 and 0 < t < 1230):
+        return False
+    return 0.75 < t / c < 1.33
 
 
 if __name__ == "__main__":
