@@ -215,3 +215,30 @@ def test_flowed_measurement_collectives(mesh):
     # XLA fusion drift but catches a layout regression that would
     # multiply halo traffic or start gathering shards.
     assert 0 < ops["collective-permute"] <= 200, ops
+
+
+def test_chain_sharded_ensemble_dp_has_zero_collectives():
+    """Ensemble data parallelism: step_batched with the CHAIN axis
+    sharded over all devices (one independent Markov chain per device)
+    must compile to ZERO collectives of any kind — chains never
+    communicate, so ensemble throughput scales linearly over ICI with
+    no traffic at all (the third scaling axis next to 4D domain
+    decomposition and even-odd; measured 2026-08-21: empty collective
+    inventory, 8 chains / 8 virtual devices)."""
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    chain_mesh = Mesh(jax.devices()[:8], ("chain",))
+    hmc = HMC(action=ga.wilson_gauge_action(3, 5.7), dtau=0.05, md_steps=3,
+              staged=False)
+    us = jnp.stack([fields.hot_start((4, 4, 4, 4), 3, seed=s) for s in range(8)])
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(8))
+    us_s = jax.device_put(us, NamedSharding(chain_mesh, P("chain")))
+    keys_s = jax.device_put(keys, NamedSharding(chain_mesh, P("chain")))
+    f = jax.jit(lambda u, k: jax.vmap(hmc._step_fused)(u, k))
+    hlo = f.lower(us_s, keys_s).compile().as_text()
+    ops, nonscalar, permutes = _audit(hlo)
+    assert sum(ops.values()) == 0, ops
+    _, _, st = f(us_s, keys_s)
+    assert st["dH"].shape == (8,)
