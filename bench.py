@@ -239,9 +239,16 @@ def tier1_dslash():
     }
 
 
-def tier2_hmc(n_traj=20):
-    """The reference headline workload -> {wall, plaq, accepted}."""
+def tier2_hmc(n_traj=20, force_cpu=False):
+    """The reference headline workload -> {wall, plaq, accepted}.
+
+    force_cpu: run on the CPU backend even when a TPU plugin is
+    pinned — the dead-TPU fallback (the reference's 180.41 s is
+    itself a CPU number, so a fresh validated CPU wall-clock is an
+    apples-to-apples comparison when no TPU window opens all round)."""
     jax = _setup_jax()
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from latticeqcd_tpu.io import load_bridge_text
@@ -425,7 +432,36 @@ def _this_run(fresh: dict, key: str, field: str, best_val, lower_is_better=False
 def _headline(p: dict, last_err: str, fresh: dict = None) -> dict:
     fresh = fresh or {}
     t0, t1, t2 = p.get("tier0"), p.get("tier1"), p.get("tier2")
+    t2c = p.get("tier2_cpu")
     notes = []
+    if t2 is None and t2c is not None:
+        # Dead-TPU fallback: a FRESH validated CPU wall-clock of the
+        # reference's own (CPU) benchmark outranks stale TPU kernel
+        # proxies in honesty terms; the stale tiers ride along below.
+        vtr, mtr, warn = _this_run(fresh, "tier2_cpu", "wall_s", t2c["wall_s"],
+                                   lower_is_better=True)
+        notes.append("CPU fallback: no healthy TPU window this run; the "
+                     "baseline 180.41 s is also a CPU number")
+        if warn:
+            notes.append(warn)
+        out = {
+            "metric": "wilson_hmc_20traj_4^4_beta6.0_kappa0.141139_wallclock_cpu",
+            "value": t2c["wall_s"],
+            "unit": "s",
+            "vs_baseline": round(BASELINE_SECONDS / t2c["wall_s"], 2),
+            "baseline": f"{BASELINE_SECONDS} s LatticeQCD.jl on 2018 Mac mini i7 (CPU)",
+            "value_this_run": vtr,
+            "measured_at": t2c.get("measured_at"),
+            "measured_at_this_run": mtr,
+        }
+        out.update({k: v for k, v in t2c.items()
+                    if k not in ("wall_s", "measured_at")})
+        if t1:
+            out["tpu_dslash_gflops_16c32_best_prior"] = t1["dslash_gflops"]
+        if t0:
+            out["tpu_pallas_dslash_gflops_best_prior"] = t0["pallas_dslash_gflops"]
+        out["note"] = "; ".join(notes)
+        return out
     if t2:
         vtr, mtr, warn = _this_run(fresh, "tier2", "wall_s", t2["wall_s"],
                                    lower_is_better=True)
@@ -511,6 +547,9 @@ def main():
     if "--tier2" in sys.argv:
         print(json.dumps(tier2_hmc()))
         return
+    if "--tier2cpu" in sys.argv:
+        print(json.dumps(tier2_hmc(force_cpu=True)))
+        return
 
     partial = _load_partial()
     state = {"last_err": ""}
@@ -573,7 +612,9 @@ def _orchestrate(partial: dict, state: dict) -> None:
     ran = {"tier0": False, "tier1": False, "tier2": False}
     cooldown = 20
     done = False
-    while _remaining() > 60 and not done:
+    # While no tier has landed a fresh number, stop the probe loop with
+    # ~7 min in reserve so the dead-TPU CPU fallback below still fits.
+    while _remaining() > (60 if any(ran.values()) else 420) and not done:
         if not _tpu_healthy():
             state["last_err"] = "TPU health probe failed"
             # f32-only window? tier0 (pure-f32 Pallas kernel) still runs.
@@ -636,6 +677,14 @@ def _orchestrate(partial: dict, state: dict) -> None:
                 sys.stderr.write(f"# tier2 failed ({fails['tier2']}): {err}\n")
             continue
         done = True
+    if not any(ran.values()) and _remaining() > 90:
+        # Dead-TPU fallback: fresh validated CPU tier2 (see _headline)
+        res, err = _run_tier("--tier2cpu", min(_remaining() - 10, 420))
+        if res:
+            _record(partial, state, "tier2_cpu", res)
+            sys.stderr.write(f"# tier2cpu fallback ok: {res}\n")
+        else:
+            sys.stderr.write(f"# tier2cpu fallback failed: {err}\n")
 
 
 if __name__ == "__main__":
