@@ -242,3 +242,44 @@ def test_chain_sharded_ensemble_dp_has_zero_collectives():
     assert sum(ops.values()) == 0, ops
     _, _, st = f(us_s, keys_s)
     assert st["dH"].shape == (8,)
+
+
+def test_domainwall_schur_cg_collectives(mesh):
+    """Round-4 DW packed Schur operator: Shat = A - B_eo A^-1 B_oe with
+    A site-local (L5 couplings never shard) and B the Wilson hop — so
+    one Shat apply costs the same halo inventory as the staggered
+    packed W: 3 permutes per sharded axis per hop x 2 hops = 12 on the
+    2-axis mesh; the L5 axis contributes ZERO collectives. CGNE adds
+    scalar all-reduces only."""
+    from latticeqcd_tpu.ops.dirac.domainwall import DomainwallDirac
+
+    d = DomainwallDirac(mass=0.3, m5=-1.0, l5=4)
+    u = apply_boundary_phases(fields.hot_start(LAT, 3, seed=6))
+    u_e, u_o = d.packed_links(u)
+    psi = gaussian_spinor(jax.random.PRNGKey(7), LAT, 3, nspin=4)
+    b = d.pack5(jnp.broadcast_to(psi, (4,) + psi.shape), LAT, 0)
+    link_spec = NamedSharding(mesh, P(None, "x", "y", "z", "t", None, None))
+    field_spec = NamedSharding(mesh, P(None, "x", "y", "z", "t", None, None))
+    u_es = jax.device_put(u_e, link_spec)
+    u_os = jax.device_put(u_o, link_spec)
+    bs = jax.device_put(b, field_spec)
+
+    f = jax.jit(
+        lambda ue, uo, bb: solvers.cg(
+            lambda v: d.apply_schur_ddag_d((ue, uo), v), bb,
+            eps=1e-10, maxiter=30,
+        )[0]
+    )
+    hlo = f.lower(u_es, u_os, bs).compile().as_text()
+    ops, nonscalar, permutes = _audit(hlo)
+    _assert_permutes_are_halo_planes(permutes)
+    # Shat^dag Shat = 2 Shat applies = 4 hops; the naive count is
+    # 4*3*N_SHARDED_AXES = 24, but the transposed (dagger) apply's
+    # link gathers don't always CSE with the forward ones (measured
+    # 38, 2026-08-21) — pin a band plus the invariants that matter:
+    # every permute is a 4D halo plane (so the L5 axis contributes
+    # ZERO collectives) and nothing gathers a full shard.
+    assert 4 * 3 * N_SHARDED_AXES <= ops["collective-permute"] <= 48, ops
+    assert ops["all-gather"] == 0, ops
+    assert ops["all-to-all"] == 0, ops
+    assert nonscalar == [], nonscalar[:3]
