@@ -44,9 +44,19 @@ class DomainwallDirac:
     r: float = 1.0
     bc: tuple = (1, 1, 1, -1)
 
-    def _wilson4(self, u, psi):
-        """(4r + M) - (1/2) sum_mu [(r-g)U T+ + (r+g)U^dag T-] on each s."""
+    def _wilson4(self, u, psi, dag: bool = False):
+        """(4r + M) - (1/2) sum_mu [(r-g)U T+ + (r+g)U^dag T-] on each s.
+
+        dag=True applies the ADJOINT of the hop: with gamma_mu
+        hermitian and r real, (r -+ gamma) are hermitian, so the
+        adjoint is the SAME stencil with the two projectors swapped
+        (forward hop carries r+gamma, backward r-gamma) — no
+        linear_transpose, whose transposed jnp.roll lowers to a pad +
+        halo-plane ALL-REDUCE under GSPMD instead of a permute
+        (caught by tests/test_collective_audit.py)."""
         pm, pp = gammas.projectors(self.r)
+        if dag:
+            pm, pp = pp, pm
         pm = jnp.asarray(pm, dtype=psi.dtype)
         pp = jnp.asarray(pp, dtype=psi.dtype)
         out = (4.0 * self.r + self.m5) * psi
@@ -85,10 +95,24 @@ class DomainwallDirac:
         return out
 
     def apply_dagger(self, u: jnp.ndarray, psi: jnp.ndarray) -> jnp.ndarray:
-        """Exact adjoint via linear transpose: D^dag x = conj(D^T conj(x))."""
-        f = lambda v: self.apply(u, v)
-        (out,) = jax.linear_transpose(f, psi)(jnp.conj(psi))
-        return jnp.conj(out)
+        """Explicit adjoint (pinned against jax.linear_transpose in
+        tests/test_domainwall.py): the 4D hop adjoint swaps the
+        projectors (_wilson4 dag note), and for the L5 couplings
+        (P-+ S+-m)^dag = P-+ S-+m — the s-shift matrices are real with
+        S+m^T = S-m (the -m corners transpose onto each other), so the
+        adjoint just swaps which chirality rides which shift."""
+        rdt = jnp.float64 if psi.dtype == jnp.complex128 else jnp.float32
+        g5 = jnp.asarray(np.diag(gammas.GAMMA5).real, dtype=rdt)
+        p_minus = (1.0 - g5) / 2.0
+        p_plus = (1.0 + g5) / 2.0
+
+        out = self._wilson4(u, psi, dag=True) + psi
+        up = jnp.roll(psi, -1, axis=0)
+        up = up.at[self.l5 - 1].set(-self.mass * psi[0])
+        dn = jnp.roll(psi, 1, axis=0)
+        dn = dn.at[0].set(-self.mass * psi[self.l5 - 1])
+        # D has -P- up - P+ dn; the adjoint swaps the chiralities
+        return out - p_plus[:, None] * up - p_minus[:, None] * dn
 
     def apply_ddag_d(self, u, psi):
         return self.apply_dagger(u, self.apply(u, psi))
@@ -148,13 +172,20 @@ class DomainwallDirac:
             "lk,k...->l...", mm, psi
         )
 
-    def apply_a(self, psi):
-        """The 4D-site-local block A of D (any packing)."""
-        return self._apply_l5(*self._a_mats(), psi)
+    def apply_a(self, psi, dag: bool = False):
+        """The 4D-site-local block A of D (any packing). A^dag swaps
+        the chiral matrices: A+^T = A- (real matrices, the -m corners
+        transpose onto each other)."""
+        a_plus, a_minus = self._a_mats()
+        if dag:
+            a_plus, a_minus = a_minus, a_plus
+        return self._apply_l5(a_plus, a_minus, psi)
 
-    def apply_a_inv(self, psi):
+    def apply_a_inv(self, psi, dag: bool = False):
         """A^-1 psi via the precomputed chiral L5 x L5 inverses."""
         a_plus, a_minus = self._a_mats()
+        if dag:
+            a_plus, a_minus = a_minus, a_plus
         return self._apply_l5(np.linalg.inv(a_plus), np.linalg.inv(a_minus), psi)
 
     def packed_links(self, up):
@@ -176,17 +207,22 @@ class DomainwallDirac:
 
         return jax.vmap(lambda ff: eo_pack.unpack(ff, lattice, parity))(fp)
 
-    def _packed_hop(self, u_t, u_s, psi_p, target_parity: int):
+    def _packed_hop(self, u_t, u_s, psi_p, target_parity: int,
+                    dag: bool = False):
         """The Wilson-hop block B restricted to target_parity sites:
         psi_p lives on the OPPOSITE parity, packed (L5,X/2,Y,Z,T,4,NC).
         Same stencil inventory as the staggered packed dslash
         (staggered.py _packed_dslash): 3 halo exchanges per sharded
-        axis (psi +mu, psi -mu, links -mu)."""
+        axis (psi +mu, psi -mu, links -mu). dag=True is the adjoint
+        hop B_{ts}^dag = B'_{st}: identical link/gather pattern with
+        the projectors swapped (gamma_mu hermitian — see _wilson4)."""
         from latticeqcd_tpu.ops.dirac import eo_pack
 
         lattice = (2 * u_t.shape[1],) + tuple(u_t.shape[2:5])
         s_t = eo_pack.offset_field(lattice, target_parity)
         pm, pp = gammas.projectors(self.r)
+        if dag:
+            pm, pp = pp, pm
         pm = jnp.asarray(pm, dtype=psi_p.dtype)
         pp = jnp.asarray(pp, dtype=psi_p.dtype)
         hop = 0.0
@@ -200,18 +236,23 @@ class DomainwallDirac:
             hop = hop + jnp.einsum("st,l...tc->l...sc", pp[mu], bwd)
         return -0.5 * hop
 
-    def apply_schur(self, u_eo, phi_e: jnp.ndarray) -> jnp.ndarray:
-        """Shat phi = (A - B_eo A^-1 B_oe) phi on packed EVEN fields."""
+    def apply_schur(self, u_eo, phi_e: jnp.ndarray, dag: bool = False) -> jnp.ndarray:
+        """Shat phi = (A - B_eo A^-1 B_oe) phi on packed EVEN fields.
+
+        dag=True gives Shat^dag = A^dag - B_oe^dag A^-dag B_eo^dag,
+        which by the projector-swap adjoint rule is the SAME program
+        with dag threaded through every block — explicit, so the
+        sharded adjoint costs exactly the forward hop's halo permutes
+        (a linear_transpose here lowered transposed rolls to
+        halo-plane all-reduces, tests/test_collective_audit.py)."""
         u_e, u_o = u_eo
-        t = self._packed_hop(u_o, u_e, phi_e, target_parity=1)
-        t = self.apply_a_inv(t)
-        t = self._packed_hop(u_e, u_o, t, target_parity=0)
-        return self.apply_a(phi_e) - t
+        t = self._packed_hop(u_o, u_e, phi_e, target_parity=1, dag=dag)
+        t = self.apply_a_inv(t, dag=dag)
+        t = self._packed_hop(u_e, u_o, t, target_parity=0, dag=dag)
+        return self.apply_a(phi_e, dag=dag) - t
 
     def apply_schur_dagger(self, u_eo, phi_e: jnp.ndarray) -> jnp.ndarray:
-        f = lambda v: self.apply_schur(u_eo, v)
-        (out,) = jax.linear_transpose(f, phi_e)(jnp.conj(phi_e))
-        return jnp.conj(out)
+        return self.apply_schur(u_eo, phi_e, dag=True)
 
     def apply_schur_ddag_d(self, u_eo, phi_e):
         return self.apply_schur_dagger(u_eo, self.apply_schur(u_eo, phi_e))

@@ -200,3 +200,28 @@ def test_dw_effective_propagator_matches_dense_inverse():
     assert np.isfinite(pbp) and len(vals) == 2
     c = pion_correlator(u, d, eps=1e-18, maxiter=2000)
     assert c.shape == (lat[3],) and np.all(np.isfinite(c)) and np.all(c > 0)
+
+
+def test_explicit_daggers_match_linear_transpose():
+    """Round-4: apply_dagger and apply_schur_dagger are EXPLICIT
+    (projector-swap / chiral-matrix-swap adjoints) because
+    linear_transpose's transposed rolls lower to halo-plane
+    all-reduces under GSPMD (test_collective_audit.py). Pin them
+    against the transpose oracle to machine precision."""
+    u = apply_boundary_phases(_u())
+    d = DomainwallDirac(mass=0.3, m5=-1.0, l5=L5)
+    psi = _rand5(jax.random.PRNGKey(11))
+    phi = _rand5(jax.random.PRNGKey(12))
+
+    def lt(f, v, w):
+        return jnp.conj(jax.linear_transpose(f, v)(jnp.conj(w))[0])
+
+    assert float(jnp.max(jnp.abs(
+        lt(lambda v: d.apply(u, v), psi, phi) - d.apply_dagger(u, phi)
+    ))) < 1e-12
+    ueo = d.packed_links(u)
+    pe, qe = d.pack5(psi, LAT, 0), d.pack5(phi, LAT, 0)
+    assert float(jnp.max(jnp.abs(
+        lt(lambda v: d.apply_schur(ueo, v), pe, qe)
+        - d.apply_schur_dagger(ueo, qe)
+    ))) < 1e-12
