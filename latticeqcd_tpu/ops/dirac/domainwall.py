@@ -12,8 +12,10 @@ sharded, SURVEY.md 7.4).
 with P+- = (1 +- g5)/2 and chiral boundaries carrying the physical
 mass m:  psi_{L5} -> -m psi_0 (P- branch), psi_{-1} -> -m psi_{L5-1}
 (P+ branch). D_w4(M) is the 4D Wilson operator with bare mass M
-(diagonal 4r + M). The adjoint is generated with
-jax.linear_transpose (exact, no hand-written stencil transpose).
+(diagonal 4r + M). The adjoint is EXPLICIT (projector swap for the
+hop, chiral-matrix swap for the L5 block — see apply_dagger) and
+pinned against jax.linear_transpose, whose transposed rolls lower to
+halo-plane all-reduces under GSPMD.
 """
 
 from __future__ import annotations
@@ -26,12 +28,14 @@ import numpy as np
 
 from latticeqcd_tpu.ops.dirac import gammas
 
+from latticeqcd_tpu.ops import rolls
+
 DIRS = 4
 
 
 def _shift4(f, mu, steps):
     """Shift on the 4D site axes of a 5D spinor (axes 1..4)."""
-    return jnp.roll(f, -steps, axis=1 + mu)
+    return rolls.roll(f, -steps, axis=1 + mu)
 
 
 @dataclass(frozen=True)
@@ -66,7 +70,7 @@ class DomainwallDirac:
             fwd = jnp.einsum("...ab,l...sb->l...sa", umu, _shift4(psi, mu, +1))
             bwd = jnp.einsum(
                 "...ba,l...sb->l...sa",
-                jnp.conj(jnp.roll(umu, 1, axis=mu)),
+                jnp.conj(rolls.roll(umu, 1, axis=mu)),
                 _shift4(psi, mu, -1),
             )
             hop = hop + jnp.einsum("st,l...tc->l...sc", pm[mu], fwd)

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from latticeqcd_tpu.ops import rolls
+
 DIRS = 4
 
 
@@ -84,15 +86,15 @@ def _bcast(s: np.ndarray, f: jnp.ndarray) -> np.ndarray:
 def gather_plus(f: jnp.ndarray, mu: int, s_t: np.ndarray) -> jnp.ndarray:
     """f^src(x + mu) seen from target sites x = 2x' + s_t."""
     if mu == 0:
-        return jnp.where(_bcast(s_t, f).astype(bool), jnp.roll(f, -1, axis=0), f)
-    return jnp.roll(f, -1, axis=mu)
+        return jnp.where(_bcast(s_t, f).astype(bool), rolls.roll(f, -1, axis=0), f)
+    return rolls.roll(f, -1, axis=mu)
 
 
 def gather_minus(f: jnp.ndarray, mu: int, s_t: np.ndarray) -> jnp.ndarray:
     """f^src(x - mu) seen from target sites x = 2x' + s_t."""
     if mu == 0:
-        return jnp.where(_bcast(s_t, f).astype(bool), f, jnp.roll(f, 1, axis=0))
-    return jnp.roll(f, 1, axis=mu)
+        return jnp.where(_bcast(s_t, f).astype(bool), f, rolls.roll(f, 1, axis=0))
+    return rolls.roll(f, 1, axis=mu)
 
 
 def packable(lattice) -> bool:

@@ -25,6 +25,8 @@ import numpy as np
 
 from latticeqcd_tpu.ops.dirac import eo_pack
 
+from latticeqcd_tpu.ops import rolls
+
 DIRS = 4
 
 
@@ -41,7 +43,7 @@ def ks_phases(lattice):
 
 
 def _shift(f, mu, steps):
-    return jnp.roll(f, -steps, axis=mu)
+    return rolls.roll(f, -steps, axis=mu)
 
 
 @dataclass(frozen=True)

@@ -27,6 +27,8 @@ import numpy as np
 
 from latticeqcd_tpu.ops.dirac import eo_pack, gammas
 
+from latticeqcd_tpu.ops import rolls
+
 DIRS = 4
 
 
@@ -44,7 +46,7 @@ def apply_boundary_phases(u: jnp.ndarray, bc=(1, 1, 1, -1)) -> jnp.ndarray:
 
 
 def _shift(f, mu, steps):
-    return jnp.roll(f, -steps, axis=mu)
+    return rolls.roll(f, -steps, axis=mu)
 
 
 @dataclass(frozen=True)

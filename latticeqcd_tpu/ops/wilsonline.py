@@ -19,6 +19,8 @@ import jax.numpy as jnp
 
 from latticeqcd_tpu.ops import sun
 
+from latticeqcd_tpu.ops import rolls
+
 DIRS = 4
 
 
@@ -120,7 +122,7 @@ def _roll_to(field: jnp.ndarray, offset) -> jnp.ndarray:
         return field
     nz_axes = [a for a, s in zip(axes, shifts) if s != 0]
     nz_shifts = [s for s in shifts if s != 0]
-    return jnp.roll(field, nz_shifts, axis=nz_axes)
+    return rolls.roll(field, nz_shifts, axis=nz_axes)
 
 
 def evaluate_line(u: jnp.ndarray, line: Wilsonline) -> jnp.ndarray:

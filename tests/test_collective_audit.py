@@ -283,3 +283,24 @@ def test_domainwall_schur_cg_collectives(mesh):
     assert ops["all-gather"] == 0, ops
     assert ops["all-to-all"] == 0, ops
     assert nonscalar == [], nonscalar[:3]
+
+
+def test_fermion_force_grad_has_no_plane_allreduces(mesh, sharded_fields):
+    """Round-4 rolls.roll primitive: jax.grad of the fermion force used
+    to transpose jnp.roll into pad ops that GSPMD partitioned as
+    halo-plane ALL-REDUCES (measured: 93 permutes + 4 plane-shaped
+    all-reduces per sharded Wilson force). With the custom primitive
+    (transpose-of-roll = opposite roll) the same program measures 68
+    permutes and scalar-only all-reduces. Pin the invariants."""
+    from latticeqcd_tpu.ops.fermion_action import WilsonFermiAction
+
+    us, ps = sharded_fields
+    fa = WilsonFermiAction(WilsonDirac(kappa=0.12), eps_cg=1e-10, max_cg=40)
+    f = jax.jit(lambda uu, pp: fa.force(uu, pp))
+    hlo = f.lower(us, ps).compile().as_text()
+    ops, nonscalar, permutes = _audit(hlo)
+    _assert_permutes_are_halo_planes(permutes)
+    assert nonscalar == [], nonscalar[:3]
+    assert ops["all-gather"] == 0, ops
+    assert ops["all-to-all"] == 0, ops
+    assert 0 < ops["collective-permute"] <= 80, ops
