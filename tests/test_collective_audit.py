@@ -304,3 +304,25 @@ def test_fermion_force_grad_has_no_plane_allreduces(mesh, sharded_fields):
     assert ops["all-gather"] == 0, ops
     assert ops["all-to-all"] == 0, ops
     assert 0 < ops["collective-permute"] <= 80, ops
+
+
+def test_stout_smeared_force_grad_collectives(mesh, sharded_fields):
+    """The autodiff chain through the stout stack (replacing the
+    reference's hand-written back_prop) must also stay free of
+    plane-shaped all-reduces: measured 176 halo permutes (staple
+    exchanges through the smear chain rule), scalar-only all-reduces,
+    zero all-gathers (2026-08-21, after the rolls.roll primitive)."""
+    from latticeqcd_tpu.ops.fermion_action import WilsonFermiAction
+    from latticeqcd_tpu.smearing.stout import stout_stack
+
+    us, ps = sharded_fields
+    net = stout_stack((0.1,))
+    fa = WilsonFermiAction(WilsonDirac(kappa=0.12), eps_cg=1e-10, max_cg=30)
+    f = jax.jit(lambda uu, pp: fa.force(uu, pp, smear_fn=net.smear))
+    hlo = f.lower(us, ps).compile().as_text()
+    ops, nonscalar, permutes = _audit(hlo)
+    _assert_permutes_are_halo_planes(permutes)
+    assert nonscalar == [], nonscalar[:3]
+    assert ops["all-gather"] == 0, ops
+    assert ops["all-to-all"] == 0, ops
+    assert 0 < ops["collective-permute"] <= 220, ops
