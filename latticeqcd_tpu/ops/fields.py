@@ -21,6 +21,8 @@ import numpy as np
 
 from latticeqcd_tpu.ops import sun
 
+from latticeqcd_tpu.ops import rolls
+
 DIRS = 4  # spacetime dimensionality (reference supports Dim=4 in all tests)
 
 
@@ -116,13 +118,14 @@ def initialize_gaugefields(nc, lattice, condition="cold", seed=0, dtype=jnp.comp
 def shift(field: jnp.ndarray, mu: int, steps: int) -> jnp.ndarray:
     """field(x + steps * e_mu) for a site field with layout (X,Y,Z,T,...).
 
-    Periodic. Positive `steps` looks *forward*. jnp.roll with negative
+    Periodic. Positive `steps` looks *forward*. A roll with negative
     shift brings x+1 to position x. Under a sharded jit this lowers to
-    a local roll + XLA collective-permute on the mesh edge.
+    a local roll + XLA collective-permute on the mesh edge (rolls.roll
+    keeps that true for the TRANSPOSED/grad programs too).
     """
-    return jnp.roll(field, -steps, axis=mu)
+    return rolls.roll(field, -steps, axis=mu)
 
 
 def shift_link(u_mu: jnp.ndarray, mu: int, steps: int) -> jnp.ndarray:
     """Shift a single-direction link field U[mu] with layout (X,Y,Z,T,a,b)."""
-    return jnp.roll(u_mu, -steps, axis=mu)
+    return rolls.roll(u_mu, -steps, axis=mu)
