@@ -326,3 +326,33 @@ def test_stout_smeared_force_grad_collectives(mesh, sharded_fields):
     assert ops["all-gather"] == 0, ops
     assert ops["all-to-all"] == 0, ops
     assert 0 < ops["collective-permute"] <= 220, ops
+
+
+def test_rhmc_multishift_force_collectives(mesh):
+    """The dynamical-staggered RHMC hot path end to end: rational
+    coefficients + multi-shift CG on the packed W + per-shift force
+    accumulation + grad through the packed stencils. Measured
+    2026-08-21: 372 halo-plane permutes, scalar-only all-reduces, zero
+    all-gathers (the multi-shift recurrence adds only scalar
+    zeta/alpha algebra, never field-shaped collectives)."""
+    from latticeqcd_tpu.ops.dirac.staggered import StaggeredDirac
+    from latticeqcd_tpu.ops.fermion_action import StaggeredFermiAction
+
+    u = fields.hot_start(LAT, 3, seed=0)
+    us = shard_links(u, mesh)
+    fa = StaggeredFermiAction(StaggeredDirac(mass=0.5, lattice=LAT), nf=2,
+                              eps_cg=1e-10, max_cg=40)
+    _, phi = fa.sample_pseudofermion(u, jax.random.PRNGKey(1))
+    phis = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(
+            mesh, P(*([None] * (a.ndim - 5)), "x", "y", "z", "t", None))),
+        phi,
+    )
+    f = jax.jit(lambda uu, pp: fa.force(uu, pp))
+    hlo = f.lower(us, phis).compile().as_text()
+    ops, nonscalar, permutes = _audit(hlo)
+    _assert_permutes_are_halo_planes(permutes)
+    assert nonscalar == [], nonscalar[:3]
+    assert ops["all-gather"] == 0, ops
+    assert ops["all-to-all"] == 0, ops
+    assert 0 < ops["collective-permute"] <= 450, ops
