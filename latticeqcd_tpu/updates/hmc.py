@@ -69,16 +69,25 @@ class HMC:
         return jax.default_backend() not in ("cpu",)
 
     # ---------------------------------------------------------------- step
-    def step(self, u: jnp.ndarray, key: jnp.ndarray):
-        """One HMC trajectory: (U, key) -> (U', key', stats)."""
-        # validate identically on BOTH paths so a config never behaves
-        # differently on CPU (fused) vs TPU (staged)
+    def _validate(self) -> None:
+        """Validate identically on BOTH paths (fused and staged) so a
+        config never behaves differently on CPU (fused) vs TPU
+        (staged); called by step() and step_batched()."""
         if self.md_steps < 1:
             raise ValueError(f"MDsteps must be >= 1, got {self.md_steps}")
         if self.sexton_weingarten and self.quench:
             raise ValueError(
                 "The quench update does not need the SextonWeingarten method"
             )
+        if self.sexton_weingarten and self.nsw % 2 != 0:
+            # the reference asserts this too (standardMD.jl:56); without
+            # it the staged path would silently integrate 2*(nsw//2)
+            # gauge substeps of size dtau/nsw — i.e. a short trajectory
+            raise ValueError(f"Nsw must be even, got {self.nsw}")
+
+    def step(self, u: jnp.ndarray, key: jnp.ndarray):
+        """One HMC trajectory: (U, key) -> (U', key', stats)."""
+        self._validate()
         if self._use_staged():
             return self._step_staged(u, key)
         return self._step_fused(u, key)
@@ -433,6 +442,7 @@ class HMC:
         vmapped one is strictly larger; the staged variant vmaps each
         small program instead (the batched CG while_loops still sit at
         program top level, which the axon runtime supports)."""
+        self._validate()
         if us.ndim != 8:
             raise ValueError(
                 f"us must be [nchain, 4, X, Y, Z, T, NC, NC], got shape {us.shape}"

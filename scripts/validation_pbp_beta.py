@@ -56,9 +56,27 @@ if os.environ.get("LQCD_PBP_SMOKE"):  # tiny-shape harness smoke test
     MASS = 0.5
 
 
+CAPDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                      "PERF_CAPTURE")
+
+
+def _ckpt_path(beta):
+    return os.path.join(CAPDIR, f"pbp{beta:g}".replace(".", "") + "_ckpt.npz")
+
+
+def _series_path(beta):
+    return os.path.join(CAPDIR, f"pbp{beta:g}".replace(".", "") + "_series.jsonl")
+
+
 def run_point(beta: float, n_therm: int, n_meas: int, measure_every: int = 2,
               dtype=jnp.complex64, seed: int = 11):
-    """One beta point: HMC chain + stochastic pbp series -> (mean, err)."""
+    """One beta point: HMC chain + stochastic pbp series -> (mean, err).
+
+    Long CPU runs survive interruption: the chain state is checkpointed
+    every 10 trajectories (pbpB_ckpt.npz) and every measurement is
+    appended to pbpB_series.jsonl as it lands, so a partial run still
+    yields a usable (mean, err) from the committed series.
+    """
     # MD parameters follow the reference example's commented ladder
     # (35 steps of 1/35 near beta 5.3-5.4); cold start off the broken
     # phase as the paper did for beta >= 5.175
@@ -70,33 +88,53 @@ def run_point(beta: float, n_therm: int, n_meas: int, measure_every: int = 2,
     u = fields.cold_start(LAT, 3, dtype=dtype)
     key = jax.random.PRNGKey(seed)
     mkey = jax.random.PRNGKey(seed + 999)
+    i0, n_acc, series = 0, 0, []
+    ckpt = _ckpt_path(beta)
+    if os.path.exists(ckpt) and not os.environ.get("LQCD_PBP_SMOKE"):
+        d = np.load(ckpt)
+        u = jnp.asarray(d["u"]).astype(dtype)
+        key = jnp.asarray(d["key"])
+        mkey = jnp.asarray(d["mkey"])
+        i0, n_acc = int(d["i"]), int(d["n_acc"])
+        series = list(d["series"])
+        print(f"# beta={beta} resumed at traj {i0} ({len(series)} meas)",
+              flush=True)
     t0 = time.time()
-    n_acc = 0
-    for i in range(n_therm):
+    for i in range(i0, n_therm + n_meas):
         u, key, st = hmc.step(u, key)
-        if i % 10 == 0:
+        in_therm = i < n_therm
+        if in_therm and i % 10 == 0:
             print(f"# beta={beta} therm {i}/{n_therm} plaq={float(st['plaq']):.5f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
-        if i == 12 and float(st["plaq"]) == 1.0:
+        if in_therm and i == 12 and float(st["plaq"]) > 0.9999:
             # axon flap windows have been seen running trajectories that
             # silently never move off the cold start (plaq pinned at
-            # exactly 1.0, CPU c64+staged reproduces fine) — abort with
-            # nonzero exit so the capture harness retries later
-            print(f"# FROZEN chain (plaq==1.0 after {i} traj); aborting", flush=True)
+            # ~1.0 — not exactly 1.0 in c64, which is why this is a
+            # threshold; a healthy chain at beta<=5.6 is far below 0.99
+            # after 12 trajectories, CPU c64+staged reproduces fine) —
+            # abort with nonzero exit so the capture harness retries later
+            print(f"# FROZEN chain (plaq~1.0 after {i} traj); aborting", flush=True)
             sys.exit(1)
-    series = []
-    for i in range(n_meas):
-        u, key, st = hmc.step(u, key)
-        n_acc += int(st["accepted"])
-        if i % measure_every == 0:
-            mkey, sub = jax.random.split(mkey)
-            pbp, _ = fermionic.chiral_condensate(
-                u, dirac, sub, nr=2, nf_factor=NF / 4.0, eps=1e-9, maxiter=4000
-            )
-            series.append(pbp)
-            if len(series) % 10 == 1:
-                print(f"# beta={beta} meas {i}/{n_meas} pbp={pbp:.4f} "
-                      f"({time.time()-t0:.0f}s)", flush=True)
+        if not in_therm:
+            n_acc += int(st["accepted"])
+            if (i - n_therm) % measure_every == 0:
+                mkey, sub = jax.random.split(mkey)
+                pbp, _ = fermionic.chiral_condensate(
+                    u, dirac, sub, nr=2, nf_factor=NF / 4.0, eps=1e-9, maxiter=4000
+                )
+                series.append(float(pbp))
+                with open(_series_path(beta), "a") as fp:
+                    fp.write(json.dumps({
+                        "traj": i, "pbp": float(pbp),
+                        "plaq": float(st["plaq"]),
+                        "wall_s": round(time.time() - t0, 1)}) + "\n")
+                if len(series) % 10 == 1:
+                    print(f"# beta={beta} meas {i - n_therm}/{n_meas} pbp={pbp:.4f} "
+                          f"({time.time()-t0:.0f}s)", flush=True)
+        if (i + 1) % 10 == 0 and not os.environ.get("LQCD_PBP_SMOKE"):
+            np.savez(ckpt, u=np.asarray(u), key=np.asarray(key),
+                     mkey=np.asarray(mkey), i=i + 1, n_acc=n_acc,
+                     series=np.asarray(series))
     mean, err, tau, w = autocorrelation(np.asarray(series))
     return {
         "beta": beta, "pbp": round(mean, 5), "err": round(err, 5),

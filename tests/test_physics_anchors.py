@@ -193,10 +193,10 @@ def test_published_su3_plaquette_mid_coupling(beta, p_ref):
 
     8^4 keeps the test CPU-affordable but the box is small (L ~ 0.7 fm
     at beta=6.0, ~1.4 fm at 5.7), so the dominant systematic is finite
-    volume, not MC error. Measured 2026-08-21 (800/1200 sweeps):
-    dev(5.7) = -0.0121, dev(6.0) = -0.0057, both BELOW the published
-    value as expected for a confined sub-fermi box; a one-off 12^4
-    cross-check is recorded in VALIDATION.md section 1c. Band =
+    volume, not MC error. Measured 2026-08-21 (200 therm + 600 sweeps,
+    the table in VALIDATION.md section 1c): dev(5.7) = -0.0121,
+    dev(6.0) = -0.0057, both BELOW the published value as expected for
+    a confined sub-fermi box. Band =
     4 sigma_MC + 0.016 absolute (~1.3x the largest measured FV shift);
     a sampler/action-normalization bug of the kind the analytic anchors
     bound (wrong beta normalization, wrong staple count, broken
