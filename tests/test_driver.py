@@ -127,3 +127,67 @@ def test_run_lqcd_fileloading_mode(reference_dir, tmp_path, monkeypatch):
     assert 0.5 < plaq < 0.62
     lines = (tmp_path / "measurements" / "fl" / "Plaquette.txt").read_text().strip().split("\n")
     assert len(lines) == 3  # itrj 0 (initial cold) + 2 loaded configs
+
+
+def _reunit_toml(mdir_suffix, extra_sc=None):
+    sc = {
+        "logfile": f"reunit_{mdir_suffix}.txt",
+        "log_dir": "logs",
+        "measurement_basedir": "measurements",
+        "measurement_dir": f"reunit_{mdir_suffix}",
+    }
+    sc.update(extra_sc or {})
+    return {
+        "Physical setting": {
+            "L": [4, 4, 4, 4], "NC": 3, "beta": 5.7,
+            "update_method": "HMC", "initial": "cold", "Nsteps": 5,
+        },
+        "Physical setting(fermions)": {"Dirac_operator": "nothing"},
+        "System Control": sc,
+        "HMC related": {"MDsteps": 4, "Δτ": 0.125},
+        "Measurement set": {
+            "measurement_methods": {
+                "Plaquette": {"methodname": "Plaquette", "measure_every": 1}
+            }
+        },
+    }
+
+
+def test_reunitarize_no_physics_shift_f64(tmp_path, monkeypatch):
+    """reunitarize_every must not move f64 physics (VERDICT r4 next #5):
+    with links already on the manifold to ~1e-15, reprojection every
+    trajectory changes the final plaquette at machine precision only.
+    Also pins the f64 auto-default: OFF (no defect lines in the log)."""
+    monkeypatch.chdir(tmp_path)
+    p0 = construct_params_from_toml(_reunit_toml("off"))
+    plaq0 = latticeqcd_tpu.run_LQCD_file(p0)
+    log0 = (tmp_path / "logs" / "reunit_off.txt").read_text()
+    assert "unitarity defect" not in log0  # f64 auto = off
+    p1 = construct_params_from_toml(
+        _reunit_toml("on", {"reunitarize_every": 1}))
+    plaq1 = latticeqcd_tpu.run_LQCD_file(p1)
+    log1 = (tmp_path / "logs" / "reunit_on.txt").read_text()
+    assert log1.count("unitarity defect") == 5
+    assert abs(plaq0 - plaq1) < 1e-12, (plaq0, plaq1)
+
+
+@pytest.mark.slow
+def test_reunitarize_bounds_c64_defect(tmp_path, monkeypatch):
+    """50-trajectory complex64 run with the auto cadence (every 10):
+    the logged pre-projection defect stays bounded (~10x the measured
+    ~7e-6/trajectory growth, PERF.md), far below drift levels an
+    unmaintained chain would reach, and the run stays in the
+    equilibrium plaquette band."""
+    import re
+
+    monkeypatch.chdir(tmp_path)
+    t = _reunit_toml("c64")
+    t["Physical setting"]["Nsteps"] = 50
+    p = construct_params_from_toml(t)
+    plaq = latticeqcd_tpu.run_LQCD_file(p, dtype=jnp.complex64)
+    log = (tmp_path / "logs" / "reunit_c64.txt").read_text()
+    defects = [float(m) for m in
+               re.findall(r"unitarity defect ([0-9.e+-]+)", log)]
+    assert len(defects) == 5  # auto cadence: every 10 of 50
+    assert max(defects) < 5e-4, defects
+    assert 0.5 < plaq < 0.62, plaq
