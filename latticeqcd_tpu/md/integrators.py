@@ -27,14 +27,23 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from latticeqcd_tpu.ops import sun
+from latticeqcd_tpu.ops import mdpair, sun
 
 DIRS = 4
 
 
-def update_links(u: jnp.ndarray, h: jnp.ndarray, eps) -> jnp.ndarray:
+def update_links(u, h, eps):
     """U <- exp(i eps H) U for all four directions (U_update!,
-    AbstractMD.jl:78-98)."""
+    AbstractMD.jl:78-98).
+
+    Polymorphic over the MD state representation: plain complex arrays
+    (production), or f64 mdpair.PairField state for the mixed-precision
+    integrator (md_precision='mixed' — the kick accumulation
+    `h + eps*f` is handled by PairField.__add__, so the integrator
+    bodies below run unchanged on either representation; the force
+    closures receive a lowered complex view, built by the HMC layer)."""
+    if isinstance(u, mdpair.PairField):
+        return mdpair.update_links(u, h, eps)
     e = sun.expi_hermitian(h, eps)
     return jnp.matmul(e, u)
 

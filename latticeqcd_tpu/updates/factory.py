@@ -45,6 +45,7 @@ def updatemethod(p, univ):
             omelyan_lambda=p.omelyan_lambda,
             fermi_action=None if univ.quench else univ.fermi_action,
             smearing=univ.cov_neural_net,
+            md_precision=p.MDprecision,
         )
     if method == "Heatbath":
         if not univ.quench:

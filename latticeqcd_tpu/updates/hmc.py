@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from latticeqcd_tpu.md import integrators
 from latticeqcd_tpu.ops import gauge_action as ga
-from latticeqcd_tpu.ops import sun
+from latticeqcd_tpu.ops import mdpair, sun
 
 
 @dataclass(frozen=True)
@@ -51,10 +51,24 @@ class HMC:
     fermi_action: Optional[Any] = None
     smearing: Optional[Any] = None
     staged: Optional[bool] = None  # None = auto (staged off-CPU dynamical)
+    # "mixed": run the integrator STATE (U, H) and its updates in f64
+    # real-pair arithmetic (ops/mdpair.py) while forces/solves/action
+    # evaluations and the links handed to the next trajectory stay in
+    # the production complex dtype. Mitigates the measured c64
+    # integrator-rounding dH offset at >= 8^4 (PERF.md "complex64
+    # sampling-bias evidence"; VERDICT r4 next #3). "auto"/"plain" =
+    # plain arithmetic (current default; mixed costs ~nothing on
+    # dynamical trajectories but is opt-in until TPU-measured).
+    # Requires jax_enable_x64.
+    md_precision: str = "auto"
 
     @property
     def quench(self) -> bool:
         return self.fermi_action is None
+
+    @property
+    def _mixed(self) -> bool:
+        return self.md_precision == "mixed"
 
     def _use_staged(self) -> bool:
         """Dynamical trajectories on the TPU backend run as a sequence
@@ -84,6 +98,12 @@ class HMC:
             # it the staged path would silently integrate 2*(nsw//2)
             # gauge substeps of size dtau/nsw — i.e. a short trajectory
             raise ValueError(f"Nsw must be even, got {self.nsw}")
+        if self.md_precision not in ("auto", "plain", "mixed"):
+            raise ValueError(
+                f"md_precision must be auto/plain/mixed, got {self.md_precision!r}"
+            )
+        if self._mixed:
+            mdpair.require_x64()
 
     def step(self, u: jnp.ndarray, key: jnp.ndarray):
         """One HMC trajectory: (U, key) -> (U', key', stats)."""
@@ -99,7 +119,7 @@ class HMC:
 
     @partial(jax.jit, static_argnums=0)
     def _gauge_kick_jit(self, u, h, eps):
-        return h + eps * ga.force(self.action, u)
+        return h + eps * ga.force(self.action, mdpair.as_complex(u))
 
     # Fused gauge-only segments: everything between two fermion kicks
     # is pure gauge algebra (no solver while_loops), so it compiles
@@ -111,9 +131,14 @@ class HMC:
         """u <- exp(i eps_u h) u, then the gauge kick h += eps_h F_g(u):
         one program instead of two (adjacent half-steps merged by the
         caller — QPQ merges U half-steps into eps_u = dtau, PQP merges
-        P half-kicks into eps_h = dtau)."""
+        P half-kicks into eps_h = dtau).
+
+        All staged MD primitives are polymorphic over the state
+        representation (plain complex arrays, or mdpair.PairField f64
+        pairs for md_precision='mixed'): integrators.update_links
+        dispatches on the type, forces always see a complex view."""
         u = integrators.update_links(u, h, eps_u)
-        return u, h + eps_h * ga.force(self.action, u)
+        return u, h + eps_h * ga.force(self.action, mdpair.as_complex(u))
 
     @partial(jax.jit, static_argnums=(0, 3))
     def _gauge_segment_jit(self, u, h, n_sub):
@@ -123,7 +148,7 @@ class HMC:
         eps = self.dtau / self.nsw
         for _ in range(n_sub):
             u = integrators.update_links(u, h, 0.5 * eps)
-            h = h + eps * ga.force(self.action, u)
+            h = h + eps * ga.force(self.action, mdpair.as_complex(u))
             u = integrators.update_links(u, h, 0.5 * eps)
         return u, h
 
@@ -134,15 +159,38 @@ class HMC:
         return h, sun.kinetic_energy(h), ga.action_value(self.action, u)
 
     @partial(jax.jit, static_argnums=0)
+    def _begin_mixed_jit(self, u, key):
+        """Mixed-precision begin: draw H in the production dtype (so
+        the sampled trajectory start is IDENTICAL to the plain path),
+        lift (U, H) to f64 pairs, and take the kinetic term in f64 —
+        the same arithmetic _finish_jit uses for KE_new, so the KE
+        difference carries no c64 summation noise."""
+        h = sun.random_hermitian_momentum(key, u.shape[:-2], self.action.nc, dtype=u.dtype)
+        hp = mdpair.lift(h)
+        return mdpair.lift(u), hp, mdpair.kinetic_energy(hp), ga.action_value(self.action, u)
+
+    @partial(jax.jit, static_argnums=0)
+    def _lower_jit(self, p):
+        """PairField -> complex view as one program (the staged path
+        lowers between programs for fermion force/action evaluation)."""
+        return mdpair.lower(p)
+
+    @partial(jax.jit, static_argnums=0)
     def _finish_jit(self, u0, u, h, s_old, s_f_new, k_acc):
         """H_new gauge/kinetic terms + on-device Metropolis select +
         plaquette of the outgoing links: one program (the accept
         decision never round-trips to the host mid-trajectory)."""
-        sp_new = sun.kinetic_energy(h)
+        if isinstance(h, mdpair.PairField):
+            sp_new = mdpair.kinetic_energy(h)  # f64, matches _begin_mixed_jit
+        else:
+            sp_new = sun.kinetic_energy(h)
+        u = mdpair.as_complex(u)
         sg_new = ga.action_value(self.action, u)
         s_new = sp_new + sg_new + s_f_new
         d_h = s_new - s_old
-        rdtype = jnp.float64 if u.dtype == jnp.complex128 else jnp.float32
+        rdtype = jnp.float64 if d_h.dtype == jnp.float64 or u.dtype == jnp.complex128 \
+            else jnp.float32
+        d_h = d_h.astype(rdtype)
         accept = jnp.exp(-d_h) >= jax.random.uniform(k_acc, dtype=rdtype)
         u_out = jnp.where(accept, u, u0)
         return u_out, accept, d_h, sp_new, sg_new, ga.mean_plaquette(u_out)
@@ -202,7 +250,11 @@ class HMC:
     def _step_staged(self, u, key):
         u0 = u  # restored on reject (standardHMC.jl:45,85)
         key, k_mom, k_ferm, k_acc = jax.random.split(key, 4)
-        h, sp_old, sg_old = self._begin_jit(u, k_mom)
+        u_md = u
+        if self._mixed:
+            u_md, h, sp_old, sg_old = self._begin_mixed_jit(u, k_mom)
+        else:
+            h, sp_old, sg_old = self._begin_jit(u, k_mom)
 
         fa = self.fermi_action
         smear_fn = self.smearing.smear if self.smearing is not None else None
@@ -213,6 +265,7 @@ class HMC:
             s_f_old, eta = fa.sample_pseudofermion(us, k_ferm)
 
         s_old = sp_old + sg_old + s_f_old
+        u = u_md  # mixed: MD runs on the f64 pair state from here on
 
         dtau = self.dtau
         if self.scheme not in ("QPQ", "PQP", "Omelyan"):
@@ -240,18 +293,21 @@ class HMC:
 
         def fermion_kick(u, h, eps):
             nonlocal x_guess, xg_light
+            # forces always evaluate on a complex view; in mixed mode
+            # the pair state is lowered as one small program per kick
+            uc = self._lower_jit(u) if self._mixed else u
             if split:
                 if hasattr(fa, "force_light_with_guess"):
                     f, xg_light = fa.force_light_with_guess(
-                        u, eta, xg_light, smear_fn=smear_fn
+                        uc, eta, xg_light, smear_fn=smear_fn
                     )
                 else:
-                    f = fa.force_light(u, eta, smear_fn=smear_fn)
+                    f = fa.force_light(uc, eta, smear_fn=smear_fn)
             elif force_g is not None:
                 # x_guess None on the first call -> a second jit variant
-                f, x_guess = force_g(u, eta, x_guess, smear_fn=smear_fn)
+                f, x_guess = force_g(uc, eta, x_guess, smear_fn=smear_fn)
             else:
-                f = fa.force(u, eta, smear_fn=smear_fn)
+                f = fa.force(uc, eta, smear_fn=smear_fn)
             return h + eps * f
 
         def gauge_segment(u, h, n_sub):
@@ -261,12 +317,13 @@ class HMC:
             eps = self.dtau / self.nsw
             for _ in range(n_sub):
                 u, h = self._uk_update_jit(u, h, 0.5 * eps, eps)
+                uc = self._lower_jit(u) if self._mixed else u
                 if hasattr(fa, "force_heavy_with_guess"):
                     f, xg_heavy = fa.force_heavy_with_guess(
-                        u, eta, xg_heavy, smear_fn=smear_fn
+                        uc, eta, xg_heavy, smear_fn=smear_fn
                     )
                 else:
-                    f = fa.force_heavy(u, eta, smear_fn=smear_fn)
+                    f = fa.force_heavy(uc, eta, smear_fn=smear_fn)
                 h = h + eps * f
                 u = self._u_update_jit(u, h, 0.5 * eps)
             return u, h
@@ -296,9 +353,11 @@ class HMC:
 
         s_f_new = 0.0
         if not self.quench:
-            s_f_new = jnp.real(fa.action(self._smear(u), eta))
+            uc = self._lower_jit(u) if self._mixed else u
+            s_f_new = jnp.real(fa.action(self._smear(uc), eta))
 
-        rdtype = jnp.float64 if u.dtype == jnp.complex128 else jnp.float32
+        rdtype = (jnp.float64 if self._mixed or u0.dtype == jnp.complex128
+                  else jnp.float32)
         u_out, accept, d_h, sp_new, sg_new, plaq = self._finish_jit(
             u0, u, h, jnp.asarray(s_old, rdtype), jnp.asarray(s_f_new, rdtype), k_acc
         )
@@ -373,14 +432,29 @@ class HMC:
             else:
                 force_fermion = lambda uu: self.fermi_action.force(uu, eta, smear_fn=smear_fn)
 
-        sp_old = sun.kinetic_energy(h)
+        # every force evaluates on a complex view of the MD state; in
+        # mixed mode the state itself is an f64 PairField and as_complex
+        # lowers it (fused into the same program by XLA)
+        force_gauge = lambda uu: ga.force(self.action, mdpair.as_complex(uu))
+        if force_fermion is not None:
+            _ff = force_fermion
+            force_fermion = lambda uu: _ff(mdpair.as_complex(uu))
+        if force_fine is not None:
+            _ffi = force_fine
+            force_fine = lambda uu: _ffi(mdpair.as_complex(uu))
+
+        if self._mixed:
+            u_md, h_md = mdpair.lift(u), mdpair.lift(h)
+            sp_old = mdpair.kinetic_energy(h_md)
+        else:
+            u_md, h_md = u, h
+            sp_old = sun.kinetic_energy(h)
         sg_old = ga.action_value(self.action, u)
         s_old = sp_old + sg_old + s_f_old
 
-        force_gauge = lambda uu: ga.force(self.action, uu)
         u_new, h_new = integrators.run_md(
-            u,
-            h,
+            u_md,
+            h_md,
             force_gauge,
             self.dtau,
             self.md_steps,
@@ -392,7 +466,11 @@ class HMC:
             force_fine=force_fine,
         )
 
-        sp_new = sun.kinetic_energy(h_new)
+        if self._mixed:
+            sp_new = mdpair.kinetic_energy(h_new)
+            u_new = mdpair.lower(u_new)
+        else:
+            sp_new = sun.kinetic_energy(h_new)
         sg_new = ga.action_value(self.action, u_new)
         s_f_new = 0.0
         if not self.quench:
@@ -471,6 +549,10 @@ class HMC:
         return jax.vmap(self._begin_jit)(us, keys)
 
     @partial(jax.jit, static_argnums=0)
+    def _begin_mixed_b_jit(self, us, keys):
+        return jax.vmap(self._begin_mixed_jit)(us, keys)
+
+    @partial(jax.jit, static_argnums=0)
     def _finish_b_jit(self, u0s, us, hs, s_olds, s_f_news, k_accs):
         return jax.vmap(self._finish_jit)(u0s, us, hs, s_olds, s_f_news, k_accs)
 
@@ -483,7 +565,9 @@ class HMC:
     @partial(jax.jit, static_argnums=0)
     def _faction_b_jit(self, us, etas):
         return jax.vmap(
-            lambda u, e: jnp.real(self.fermi_action.action(self._smear(u), e))
+            lambda u, e: jnp.real(
+                self.fermi_action.action(self._smear(mdpair.as_complex(u)), e)
+            )
         )(us, etas)
 
     @partial(jax.jit, static_argnums=(0, 4))
@@ -495,13 +579,14 @@ class HMC:
         smear_fn = self.smearing.smear if self.smearing is not None else None
         if hasattr(fa, "force_with_guess"):
             def one(u, h, e):
-                f, x = fa.force_with_guess(u, e, None, smear_fn=smear_fn)
+                f, x = fa.force_with_guess(
+                    mdpair.as_complex(u), e, None, smear_fn=smear_fn)
                 return h + eps * f, x
 
             return jax.vmap(one)(us, hs, etas)
 
         def one(u, h, e):
-            return h + eps * fa.force(u, e, smear_fn=smear_fn)
+            return h + eps * fa.force(mdpair.as_complex(u), e, smear_fn=smear_fn)
 
         return jax.vmap(one)(us, hs, etas), None
 
@@ -511,7 +596,8 @@ class HMC:
         smear_fn = self.smearing.smear if self.smearing is not None else None
 
         def one(u, h, e, xg):
-            f, x = fa.force_with_guess(u, e, xg, smear_fn=smear_fn)
+            f, x = fa.force_with_guess(
+                mdpair.as_complex(u), e, xg, smear_fn=smear_fn)
             return h + eps * f, x
 
         return jax.vmap(one)(us, hs, etas, xgs)
@@ -534,14 +620,20 @@ class HMC:
         u0s = us
         ks = jax.vmap(lambda k: jax.random.split(k, 4))(keys)
         keys_out, k_mom, k_ferm, k_acc = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
-        hs, sp_old, sg_old = self._begin_b_jit(us, k_mom)
+        us_md = us
+        if self._mixed:
+            us_md, hs, sp_old, sg_old = self._begin_mixed_b_jit(us, k_mom)
+        else:
+            hs, sp_old, sg_old = self._begin_b_jit(us, k_mom)
         n = us.shape[0]
-        rdtype = jnp.float64 if us.dtype == jnp.complex128 else jnp.float32
+        rdtype = (jnp.float64 if self._mixed or us.dtype == jnp.complex128
+                  else jnp.float32)
         s_f_old = jnp.zeros((n,), dtype=rdtype)
         etas = None
         if not self.quench:
             s_f_old, etas = self._sample_pf_b_jit(us, k_ferm)
         s_old = sp_old + sg_old + s_f_old
+        us = us_md  # mixed: MD runs on the f64 pair state
 
         guess = {"x": None, "warm": False}
 

@@ -102,13 +102,23 @@ def thermalized_start(name):
     return np.asarray(u)
 
 
-def run(name, dtype, n_traj, u0_np):
+def run(name, dtype, n_traj, u0_np, mixed=False):
+    import dataclasses
+    import time
+
     _, hmc = _workload(name, dtype)
+    if mixed:
+        # round-5 mitigation under test (VERDICT r4 next #3): f64
+        # real-pair integrator state, c64 forces/solves/links
+        hmc = dataclasses.replace(hmc, md_precision="mixed")
     u = jnp.asarray(u0_np).astype(dtype)
     key = jax.random.PRNGKey(222)
-    dhs, n_acc = [], 0
+    dhs, n_acc, walls = [], 0, []
     for _ in range(n_traj):
+        t0 = time.time()
         u, key, st = hmc.step(u, key)
+        jax.block_until_ready(u)
+        walls.append(time.time() - t0)
         dhs.append(float(st["dH"]))
         n_acc += int(st["accepted"])
     dhs = np.asarray(dhs)
@@ -134,9 +144,19 @@ def run(name, dtype, n_traj, u0_np):
     else:
         force_f = lambda uu: fa.force(uu, eta)
 
+    from latticeqcd_tpu.ops import mdpair
+
+    force_g_v = lambda uu: force_g(mdpair.as_complex(uu))
+    force_f_v = lambda uu: force_f(mdpair.as_complex(uu))
+
     def md(u0, h0):
-        return integrators.run_md(u0, h0, force_g, hmc.dtau, hmc.md_steps,
-                                  force_fermion=force_f, scheme=hmc.scheme)
+        if mixed:
+            up, hp = integrators.run_md(
+                mdpair.lift(u0), mdpair.lift(h0), force_g_v, hmc.dtau,
+                hmc.md_steps, force_fermion=force_f_v, scheme=hmc.scheme)
+            return mdpair.lower(up), mdpair.lower(hp)
+        return integrators.run_md(u0, h0, force_g_v, hmc.dtau, hmc.md_steps,
+                                  force_fermion=force_f_v, scheme=hmc.scheme)
 
     u_f, h_f = md(u, h)
     u_b, h_b = md(u_f, -h_f)
@@ -144,7 +164,7 @@ def run(name, dtype, n_traj, u0_np):
     rev_h = float(jnp.max(jnp.abs(-h_b - h)))
     out = {
         "workload": name,
-        "dtype": str(jnp.dtype(dtype)),
+        "dtype": str(jnp.dtype(dtype)) + ("+mixedMD" if mixed else ""),
         "eps_cg_requested": 1e-19,
         "eps_cg_effective": 2.5e-13 if jnp.dtype(dtype) == jnp.dtype(jnp.complex64) else 1e-19,
         "n_traj": n_traj,
@@ -152,6 +172,9 @@ def run(name, dtype, n_traj, u0_np):
         "err_dH": round(float(dhs.std() / np.sqrt(len(dhs))), 8),
         "mean_exp_mdH": round(float(np.exp(-dhs).mean()), 6),
         "acceptance": round(n_acc / n_traj, 3),
+        # excludes the first (compile) trajectory; median is robust to
+        # background load on a shared box
+        "wall_per_traj_s": round(float(np.median(walls[1:])), 3) if len(walls) > 1 else None,
         "reversibility_maxU": rev_u,
         "reversibility_maxH": rev_h,
         "reversibility_force": "warm-started (production closure)"
@@ -176,18 +199,25 @@ if __name__ == "__main__":
         if only and name != only:
             continue
         u0 = thermalized_start(name)
-        for dtype in (jnp.complex128, jnp.complex64):
-            results[(name, str(jnp.dtype(dtype)))] = run(name, dtype, n, u0)
+        variants = [(jnp.complex128, False), (jnp.complex64, False),
+                    (jnp.complex64, True)]
+        if "--no-mixed" in sys.argv:
+            variants = variants[:2]
+        for dtype, mixed in variants:
+            tag = str(jnp.dtype(dtype)) + ("+mixedMD" if mixed else "")
+            results[(name, tag)] = run(name, dtype, n, u0, mixed=mixed)
         # paired per-trajectory dH difference (same keys; the chains
         # coincide up to rounding until an acceptance flips, so the
         # pairing isolates the precision effect with far smaller
         # variance than comparing independent means)
         a = results.get((name, "complex128"))
-        b = results.get((name, "complex64"))
-        if a and b:
-            d = np.asarray(b["dH_series"]) - np.asarray(a["dH_series"])
-            print(json.dumps({
-                "workload": name, "paired_dH_diff_mean": round(float(d.mean()), 8),
-                "paired_dH_diff_err": round(float(d.std() / np.sqrt(len(d))), 8),
-                "n_pairs": len(d),
-            }), flush=True)
+        for tag in ("complex64", "complex64+mixedMD"):
+            b = results.get((name, tag))
+            if a and b:
+                d = np.asarray(b["dH_series"]) - np.asarray(a["dH_series"])
+                print(json.dumps({
+                    "workload": name, "variant": tag,
+                    "paired_dH_diff_mean": round(float(d.mean()), 8),
+                    "paired_dH_diff_err": round(float(d.std() / np.sqrt(len(d))), 8),
+                    "n_pairs": len(d),
+                }), flush=True)
