@@ -206,10 +206,17 @@ if __name__ == "__main__":
         for dtype, mixed in variants:
             tag = str(jnp.dtype(dtype)) + ("+mixedMD" if mixed else "")
             results[(name, tag)] = run(name, dtype, n, u0, mixed=mixed)
-        # paired per-trajectory dH difference (same keys; the chains
-        # coincide up to rounding until an acceptance flips, so the
-        # pairing isolates the precision effect with far smaller
-        # variance than comparing independent means)
+        # per-trajectory dH difference with the same keys. ROUND-5
+        # CORRECTION (scripts/c64_dh_study.py): this pairing is
+        # VACUOUS across dtypes — jax.random draws with the same key
+        # but different dtypes are unrelated streams (verified: f32
+        # and f64 normals from one key differ O(1)), so the chains
+        # have independent momenta/pseudofermions from trajectory 0
+        # and this "paired" error understates the true uncertainty of
+        # the mean difference. Kept for the dtype-vs-dtype+mixedMD
+        # comparison (same dtype = genuinely common stream); for
+        # cross-dtype claims use independent-series errors
+        # (err = sqrt(err_a^2 + err_b^2)) or the long-chain study.
         a = results.get((name, "complex128"))
         for tag in ("complex64", "complex64+mixedMD"):
             b = results.get((name, tag))
