@@ -356,3 +356,22 @@ def test_rhmc_multishift_force_collectives(mesh):
     assert ops["all-gather"] == 0, ops
     assert ops["all-to-all"] == 0, ops
     assert 0 < ops["collective-permute"] <= 450, ops
+
+
+def test_mixed_md_trajectory_collectives(sharded_fields):
+    """md_precision='mixed' (f64 real-pair MD state, ops/mdpair.py)
+    must keep the plain path's collective discipline: the PairField
+    re/im leaves carry the links' 4D sharding, so halo exchanges stay
+    collective-permutes of planes and the only all-reduces are scalar
+    energies. A pathological GSPMD outcome (the pair representation
+    tricking the partitioner into gathering shards) would show here."""
+    us, _ = sharded_fields
+    hmc = HMC(action=ga.wilson_gauge_action(3, 5.7), dtau=0.05, md_steps=5,
+              md_precision="mixed")
+    hlo = jax.jit(hmc._step_fused).lower(us, jax.random.PRNGKey(0)).compile().as_text()
+    ops, nonscalar, permutes = _audit(hlo)
+    _assert_permutes_are_halo_planes(permutes)
+    assert ops["all-gather"] == 0, ops
+    assert ops["all-to-all"] == 0, ops
+    assert nonscalar == [], nonscalar[:3]
+    assert 0 < ops["collective-permute"] <= 12 * (5 + 2), ops
