@@ -97,8 +97,10 @@ def test_mixed_staged_matches_fused(scheme):
     u1, _, st1 = fused.step(u, key)
     u2, _, st2 = staged.step(u, key)
     # quenched mixed: both paths run identical f64 arithmetic up to
-    # the merged-half-step reassociation (f64-level, not c64-level)
-    assert abs(float(st1["dH"]) - float(st2["dH"])) < 1e-9
+    # the merged-half-step reassociation — exp(h, dtau) vs
+    # exp(h, dtau/2)^2 differ at f64 rounding per step, which dH (a
+    # cancellation of O(1e4) sums) amplifies to ~1e-9..1e-8
+    assert abs(float(st1["dH"]) - float(st2["dH"])) < 1e-7
     assert bool(st1["accepted"]) == bool(st2["accepted"])
     assert float(jnp.max(jnp.abs(u1 - u2))) < 1e-6  # c64 storage
 
