@@ -123,11 +123,12 @@ def run_point(beta: float, n_therm: int, n_meas: int, measure_every: int = 2,
                     u, dirac, sub, nr=2, nf_factor=NF / 4.0, eps=1e-9, maxiter=4000
                 )
                 series.append(float(pbp))
-                with open(_series_path(beta), "a") as fp:
-                    fp.write(json.dumps({
-                        "traj": i, "pbp": float(pbp),
-                        "plaq": float(st["plaq"]),
-                        "wall_s": round(time.time() - t0, 1)}) + "\n")
+                if not os.environ.get("LQCD_PBP_SMOKE"):
+                    with open(_series_path(beta), "a") as fp:
+                        fp.write(json.dumps({
+                            "traj": i, "pbp": float(pbp),
+                            "plaq": float(st["plaq"]),
+                            "wall_s": round(time.time() - t0, 1)}) + "\n")
                 if len(series) % 10 == 1:
                     print(f"# beta={beta} meas {i - n_therm}/{n_meas} pbp={pbp:.4f} "
                           f"({time.time()-t0:.0f}s)", flush=True)
