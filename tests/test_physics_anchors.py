@@ -377,3 +377,43 @@ def test_interacting_staggered_pbp_matches_dense_inverse(reference_dir):
     vals = np.asarray(vals)
     sigma = vals.std() / np.sqrt(len(vals))
     assert abs(pbp - pbp_dense) < 5.0 * sigma, (pbp, pbp_dense, sigma)
+
+
+# ---------------------------------------------------------------------------
+# 4. Published interacting-physics reproduction: Nf=4 staggered pbp vs
+# beta (MT(c) collaboration, 8 x 12^3, ma=0.025; digitized curve shipped
+# inside the reference at
+# /root/reference/src/examples/reproductions/parameters_staggered_HMC.jl:78-90).
+# The chains are produced OFFLINE by scripts/validation_pbp_beta.py
+# (~2.5 h/point on this container's CPU; full per-measurement series in
+# PERF_CAPTURE/pbp*_series.jsonl) and the converged points committed to
+# PERF_CAPTURE/pbp_beta.jsonl; this test re-reads the committed artifact
+# and holds it against the digitized reference values. The comparison
+# band is 4 sigma_MC (Wolff) + 5% of the reference value for the
+# digitization error of reading points off a 1989 journal figure.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_staggered_pbp_vs_beta_reproduces_published_curve():
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PERF_CAPTURE",
+                        "pbp_beta.jsonl")
+    points = []
+    if os.path.exists(path):
+        for line in open(path):
+            d = json.loads(line)
+            if (d.get("reference") and d.get("n_meas", 0) >= 50
+                    and np.isfinite(d.get("pbp", np.nan))
+                    and d.get("lattice") == "12x12x12x8"
+                    and d.get("mass") == 0.025):
+                points.append(d)
+    if not points:
+        pytest.skip("no converged full-volume pbp point committed yet "
+                    "(chains run offline; see scripts/validation_pbp_beta.py)")
+    for d in points:
+        band = 4.0 * d["err"] + 0.05 * d["reference"]
+        assert abs(d["pbp"] - d["reference"]) < band, d
+        assert 0.05 < d["acceptance"] <= 1.0, d
