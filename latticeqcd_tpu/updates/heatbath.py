@@ -148,10 +148,15 @@ def _kp_sample_a0(key, alpha, mask, iteration_max):
         done, a0, key = carry
         key, k1, k2, k3, k4 = jax.random.split(key, 5)
         tiny = 1e-30
-        r1 = jax.random.uniform(k1, shape, minval=tiny, maxval=1.0)
-        r2 = jax.random.uniform(k2, shape, minval=0.0, maxval=1.0)
-        r3 = jax.random.uniform(k3, shape, minval=tiny, maxval=1.0)
-        r4 = jax.random.uniform(k4, shape, minval=0.0, maxval=1.0)
+        # draw in alpha's dtype: under x64 the f64 default would
+        # promote the f32 carry of a complex64-storage sweep and break
+        # the fori_loop type invariant (latent in the KP-only version
+        # too — the c64+x64 combination was simply never exercised)
+        rdt = alpha.dtype
+        r1 = jax.random.uniform(k1, shape, minval=tiny, maxval=1.0, dtype=rdt)
+        r2 = jax.random.uniform(k2, shape, minval=0.0, maxval=1.0, dtype=rdt)
+        r3 = jax.random.uniform(k3, shape, minval=tiny, maxval=1.0, dtype=rdt)
+        r4 = jax.random.uniform(k4, shape, minval=0.0, maxval=1.0, dtype=rdt)
         # Kennedy-Pendleton (hep-lat Phys.Lett.B 156 (1985) 393)
         delta = -(jnp.log(r1) + jnp.cos(2 * jnp.pi * r2) ** 2 * jnp.log(r3)) / alpha
         acc_kp = (r4 * r4) <= (1.0 - 0.5 * delta)

@@ -177,3 +177,18 @@ def test_kp_creutz_hybrid_density_exact():
         m1 = (xg * w).sum() / w.sum()
         err = a0.std() / len(a0) ** 0.5
         assert abs(a0.mean() - m1) < 4 * err, (alpha, a0.mean(), m1, err)
+
+
+def test_heatbath_complex64_storage_under_x64():
+    """complex64-storage sweeps must run under x64 (the r5 12^4
+    finite-volume script hit a latent promotion: f64-default uniforms
+    poisoning the f32 rejection-loop carry; uniforms now draw in
+    alpha's dtype)."""
+    hb = Heatbath(action=ga.wilson_gauge_action(3, 5.7))
+    u = fields.cold_start((4, 4, 4, 4), 3, dtype=jnp.complex64)
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):
+        u, key = hb.sweep(u, key)
+    assert u.dtype == jnp.complex64
+    p = float(ga.mean_plaquette(u))
+    assert 0.3 < p <= 1.0, p
