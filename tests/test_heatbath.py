@@ -192,3 +192,17 @@ def test_heatbath_complex64_storage_under_x64():
     assert u.dtype == jnp.complex64
     p = float(ga.mean_plaquette(u))
     assert 0.3 < p <= 1.0, p
+
+
+def test_sweep_diag_matches_sweep():
+    """The instrumented sweep consumes the identical RNG stream and
+    produces bitwise-identical links — the counters must be pure
+    observation (guards the with_diag carry plumbing)."""
+    hb = Heatbath(action=ga.wilson_gauge_action(3, 2.0))
+    u = fields.hot_start((4, 4, 4, 4), 3, seed=3)
+    key = jax.random.PRNGKey(9)
+    u1, k1 = hb.sweep(u, key)
+    u2, k2, ne, na = hb.sweep_diag(u, key)
+    assert float(jnp.max(jnp.abs(u1 - u2))) == 0.0
+    assert jnp.array_equal(k1, k2)
+    assert int(na) > 0 and int(ne) == 0
