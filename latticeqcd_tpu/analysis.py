@@ -169,6 +169,78 @@ def read_wilson_loop(filename):
     return mats
 
 
+def read_flow_series(filename):
+    """Flowed measurement file -> (taus, mean-over-trajectories values).
+
+    The driver writes flowed lines as `{itrj} {itrj} {istep} {tau}
+    {value} # name` (lqcd.py flowed-measurement loop: additional_string
+    = "{itrj} {istep} {tau} ", prepended by the measurement's own
+    itrj). tau and value are parsed as fields [-2]/[-1] before the
+    comment so the format stays robust to extra leading fields, the
+    same right-anchored convention as read_wilson_loop. Returns
+    (taus[ntau], values[ntau]) with values averaged over all
+    trajectories at fixed tau, taus sorted ascending."""
+    acc = {}
+    with open(filename) as fp:
+        for line in fp:
+            parts = line.split("#")[0].split()
+            if len(parts) < 4:
+                continue
+            try:
+                tau, val = float(parts[-2]), float(parts[-1])
+            except ValueError:
+                continue
+            acc.setdefault(tau, []).append(val)
+    taus = np.asarray(sorted(acc))
+    vals = np.asarray([np.mean(acc[t]) for t in taus])
+    return taus, vals
+
+
+def t0_scale(taus, e, target: float = 0.3):
+    """Gradient-flow scale t0: the flow time where t^2 E(t) = target.
+
+    Lüscher's scale setting (arXiv:1006.4518 eq. 2.4): t^2 <E(t)> is
+    monotonically rising along the flow and crosses `target` (0.3 by
+    convention) at t = t0; a^2/t0 then sets the lattice spacing.
+    Linear interpolation between the two bracketing flow times.
+    NOTE on normalization: E here is whatever the caller measured.
+    The driver's `Energy_density` follows the reference convention
+    (measure_energy_density.jl:93-133, observables.energy_density),
+    which differs from the continuum E = G^a_{mu nu} G^a_{mu nu} / 4
+    by a constant factor; for literature-comparable t0 rescale E (or
+    the target) accordingly. Returns NaN when t^2 E never reaches
+    `target` inside the measured flow window."""
+    taus = np.asarray(taus, dtype=np.float64)
+    y = taus**2 * np.asarray(e, dtype=np.float64)
+    return _first_crossing(taus, y, target)
+
+
+def w0_scale(taus, e, target: float = 0.3):
+    """Gradient-flow scale w0: sqrt(t*) where W(t) = t d/dt [t^2 E(t)]
+    crosses `target` (BMW collaboration, arXiv:1203.4469 eq. 3-4).
+    W is built from centered differences of the measured t^2 E series
+    (one-sided at the ends), so at least 3 flow times are required;
+    the derivative-based definition cancels the multiplicative-
+    normalization sensitivity that t0 carries. Returns NaN when W
+    never reaches `target` in the window."""
+    taus = np.asarray(taus, dtype=np.float64)
+    y = taus**2 * np.asarray(e, dtype=np.float64)
+    if len(taus) < 3:
+        return float("nan")
+    w = taus * np.gradient(y, taus)
+    tstar = _first_crossing(taus, w, target)
+    return float(np.sqrt(tstar)) if np.isfinite(tstar) else float("nan")
+
+
+def _first_crossing(x, y, target):
+    """First upward linear-interpolated crossing of y(x) = target."""
+    for i in range(1, len(x)):
+        if (y[i - 1] < target) and (y[i] >= target):
+            f = (target - y[i - 1]) / (y[i] - y[i - 1])
+            return float(x[i - 1] + f * (x[i] - x[i - 1]))
+    return float("nan")
+
+
 def main(argv=None):
     """CLI: python -m latticeqcd_tpu.analysis <measuredir> [skip]
 
@@ -189,6 +261,14 @@ def main(argv=None):
         if not fn.endswith(".txt"):
             continue
         path = os.path.join(measuredir, fn)
+        if "Energy_density" in fn and "_flow" in fn:
+            taus, evals = read_flow_series(path)
+            if len(taus) >= 2:
+                t0 = t0_scale(taus, evals)
+                w0 = w0_scale(taus, evals)
+                print(f"{fn:32s} t0/a^2={t0:.5f} w0/a={w0:.5f}  "
+                      f"(ntau={len(taus)}, reference-convention E)")
+                continue
         itrj, vals = read_measurement_series(path)
         if len(itrj) <= skip:
             print(f"{fn:32s} ({len(itrj)} rows, skipped)")

@@ -35,16 +35,19 @@ print('healthy', float(v))
 }
 
 # name | per-attempt timeout | command
+# hbm is retired (resolved 2026-08-22 00:51 window: triad 816.4 GB/s =
+# datasheet; PERF.md roofline note). pbp56 is OWNED BY THE CPU run this
+# session (validation_pbp_beta.py 5.6 --cpu shares pbp56_ckpt/_series
+# files — a concurrent TPU attempt would interleave writes).
 STEPS=(
-  "hbm|420|python scripts/hbm_bandwidth.py"
   "matvec|700|python scripts/perf_16c32.py matvec"
+  "bench|1100|bash scripts/bench_step.sh"
   "stagmatvec|700|python scripts/perf_16c32.py matvec2"
   "batched|700|python scripts/perf_16c32.py batched"
-  "bench|1100|bash scripts/bench_step.sh"
   "quenched|800|python scripts/perf_16c32.py quenched"
   "stagtraj|1100|python scripts/perf_16c32.py staggered"
   "multichain|800|python scripts/perf_16c32.py multichain4x4"
-  "pbp56|3000|python scripts/validation_pbp_beta.py 5.6"
+  "mixed|900|python scripts/tpu_mixed_smoke.py"
   "pbp53|3000|python scripts/validation_pbp_beta.py 5.3"
 )
 

@@ -115,3 +115,66 @@ def test_read_wilson_loop_with_additional_string_prefix(tmp_path):
     assert mats[5].shape == (2, 3)
     assert abs(mats[5][1, 2] - 0.125) < 1e-15
     assert abs(mats[5][0, 0] - 0.5) < 1e-15
+
+
+# ---------------------------------------------------------------------------
+# Gradient-flow scale setting (t0 / w0)
+# ---------------------------------------------------------------------------
+
+
+def test_t0_w0_exact_on_linear_t2e():
+    """For t^2 E = c t (i.e. E = c/t), both scales are analytic:
+    t0 = 0.3/c exactly (linear interpolation is exact on a line), and
+    W(t) = t d/dt(c t) = c t crosses 0.3 at the same point, so
+    w0 = sqrt(0.3/c). Centered differences are exact on a linear y."""
+    from latticeqcd_tpu.analysis import t0_scale, w0_scale
+
+    c = 1.7
+    taus = np.linspace(0.02, 0.5, 25)
+    e = c / taus  # => t^2 E = c t
+    t0 = t0_scale(taus, e)
+    w0 = w0_scale(taus, e)
+    assert abs(t0 - 0.3 / c) < 1e-12
+    assert abs(w0 - np.sqrt(0.3 / c)) < 1e-9
+
+
+def test_t0_quadratic_interpolation_error_bounded():
+    """t^2 E = a t^2: crossing at t0 = sqrt(0.3/a); linear interpolation
+    on a fine grid lands within one grid spacing's curvature error."""
+    from latticeqcd_tpu.analysis import t0_scale
+
+    a = 4.0
+    taus = np.linspace(0.01, 0.6, 240)
+    t0 = t0_scale(taus, np.full_like(taus, a))  # E = a => t^2 E = a t^2
+    exact = np.sqrt(0.3 / a)
+    assert abs(t0 - exact) < 1e-4
+
+
+def test_flow_scales_no_crossing_is_nan():
+    from latticeqcd_tpu.analysis import t0_scale, w0_scale
+
+    taus = np.linspace(0.02, 0.2, 10)
+    e = np.full_like(taus, 1e-6)  # t^2 E stays far below 0.3
+    assert np.isnan(t0_scale(taus, e))
+    assert np.isnan(w0_scale(taus, e))
+    assert np.isnan(w0_scale(taus[:2], e[:2]))  # <3 points: no derivative
+
+
+def test_read_flow_series_driver_format(tmp_path):
+    """Pins the driver's flowed-line contract: `{itrj} {itrj} {istep}
+    {tau} {value} # name` (lqcd.py flowed-measurement loop), value and
+    tau right-anchored, mean over trajectories at fixed tau."""
+    from latticeqcd_tpu.analysis import read_flow_series, t0_scale
+
+    f = tmp_path / "Energy_density_flow.txt"
+    lines = []
+    c = 2.0
+    for itrj in (10, 20):  # two trajectories, same flow grid
+        for istep, tau in enumerate((0.1, 0.2, 0.3), start=1):
+            val = c / tau + (0.01 if itrj == 20 else -0.01)  # mean = c/tau
+            lines.append(f"{itrj} {itrj} {istep} {tau} {val} # energydensity")
+    f.write_text("\n".join(lines) + "\n")
+    taus, e = read_flow_series(str(f))
+    assert np.allclose(taus, [0.1, 0.2, 0.3])
+    assert np.allclose(e, c / taus)
+    assert abs(t0_scale(taus, e) - 0.3 / c) < 1e-12
