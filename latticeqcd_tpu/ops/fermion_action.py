@@ -595,15 +595,50 @@ class StaggeredFermiAction:
         v = jax.lax.fori_loop(0, n_iter, body, v)
         return jnp.real(inner(v, w(v)))
 
-    def ensure_spectral_bounds(self, u, n_iter: int = 30, safety: float = 1.05):
+    def _w_matvec_packed_start(self, u):
+        """(matvec, v0) for spectral estimation: the production packed
+        (or even-masked) W apply and a deterministic Gaussian start."""
+        up = self._phased(u)
+        packed = self._packed()
+        lattice = u.shape[1:5]
+        nc = u.shape[-1]
+        v0 = gaussian_spinor(jax.random.PRNGKey(20260820), lattice, nc,
+                             nspin=1, dtype=u.dtype)
+        v0 = jnp.where(self.dirac.even_mask[..., None], v0, 0.0)
+        if packed:
+            ueo = self.dirac.packed_links(up)
+            return self._w_p(ueo), self.dirac.pack(v0, 0)
+        return self._w(up), v0
+
+    def spectral_range_w(self, u, m: int = 32):
+        """Host-level (lambda_min, lambda_max) Ritz estimates of
+        W = m^2 - Dslash^2|_ee via m-step Lanczos (ops/eigen.py) — both
+        spectral ends from one Krylov sweep, vs the power method's
+        max-only slow tail. lambda_min is a diagnostic (condition
+        number, how close the config sits to the analytic m^2 floor);
+        the rational window's lower bound stays the exact m^2 bound."""
+        from latticeqcd_tpu.ops import eigen
+
+        matvec, v0 = self._w_matvec_packed_start(u)
+        return eigen.extreme_eigs(matvec, v0, m=m)
+
+    def ensure_spectral_bounds(self, u, n_iter: int = 30, safety: float = 1.05,
+                               lam: float = None):
         """Host-level guard (VERDICT r1 weak #6): verify that the
         rational window's upper bound covers the measured lambda_max(W)
         on this config; if not, return a copy with the window widened
         (the partial-fraction coefficients are rebuilt lazily at the
-        next trace). Returns (action, lambda_max_estimate)."""
+        next trace). Returns (action, lambda_max_estimate). Round 5:
+        the estimator is Lanczos (ops/eigen.py) rather than power
+        iteration — same n_iter operator applications, far tighter
+        lambda_max on clustered spectra; Ritz values approach from
+        below, which the safety factor already budgets for. `lam`
+        short-circuits the estimation when the caller already ran
+        spectral_range_w on this config (the driver logs the range)."""
         from dataclasses import replace
 
-        lam = float(self.lambda_max_w(u, n_iter))
+        if lam is None:
+            lam = self.spectral_range_w(u, m=n_iter)[1]
         _, hi = self._bounds()
         if lam * safety > hi:
             return replace(self, hi_override=lam * safety), lam

@@ -169,10 +169,13 @@ def run_lqcd_params(p: Params, make_dirs: bool = True, dtype=jnp.complex128, sha
     from latticeqcd_tpu.ops.fermion_action import StaggeredFermiAction
 
     if isinstance(univ.fermi_action, StaggeredFermiAction):
-        univ.fermi_action, lam = univ.fermi_action.ensure_spectral_bounds(univ.u)
+        lmin, lmax = univ.fermi_action.spectral_range_w(univ.u)
+        univ.fermi_action, lam = univ.fermi_action.ensure_spectral_bounds(
+            univ.u, lam=lmax)
         lo_b, hi_b = univ.fermi_action._bounds()
         vp.println_verbose_level2(
-            f"# staggered W: lambda_max ~ {lam:.4f}, rational window "
+            f"# staggered W: spectrum ~ [{lmin:.4g}, {lmax:.4g}] "
+            f"(kappa ~ {lmax / max(lmin, 1e-300):.3g}), rational window "
             f"[{lo_b:.4g}, {hi_b:.4g}]"
         )
 
