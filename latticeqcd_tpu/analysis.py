@@ -232,6 +232,60 @@ def w0_scale(taus, e, target: float = 0.3):
     return float(np.sqrt(tstar)) if np.isfinite(tstar) else float("nan")
 
 
+def effective_mass(corr, periodic: bool = True, tol: float = 1e-12):
+    """Per-timeslice effective mass from a correlator series C(t).
+
+    periodic=False: the naive m_eff(t) = ln[C(t)/C(t+1)] (valid far
+    from the boundary). periodic=True (default): solves the
+    finite-T cosh ratio C(t)/C(t+1) = cosh(m(t-T/2))/cosh(m(t+1-T/2))
+    per t by bisection — the standard correction for the backward-
+    propagating image on a periodic/antiperiodic lattice, which the
+    naive log systematically underestimates near t ~ T/2 (where the
+    pion_correlator measurement actually has its best signal).
+    Returns an array of length T-1 with NaN where the ratio is
+    unusable (non-positive entries, or t = T/2 where the cosh ratio
+    carries no mass information)."""
+    c = np.asarray(corr, dtype=np.float64)
+    t_ext = len(c)
+    out = np.full(t_ext - 1, np.nan)
+    for t in range(t_ext - 1):
+        if c[t] <= 0 or c[t + 1] <= 0:
+            continue
+        ratio = c[t] / c[t + 1]
+        if not periodic:
+            if ratio > 0:
+                out[t] = np.log(ratio)
+            continue
+        x0 = t - t_ext / 2.0
+        x1 = t + 1 - t_ext / 2.0
+
+        def logcosh(z):
+            z = abs(z)  # log cosh z, overflow-free for large z
+            return z + np.log1p(np.exp(-2.0 * z)) - np.log(2.0)
+
+        f = lambda m: logcosh(m * x0) - logcosh(m * x1) - np.log(ratio)  # noqa: E731
+        # cosh ratio is monotone in m on each side of T/2; bracket up
+        lo, hi = 0.0, 1.0
+        if abs(f(lo)) < tol:
+            out[t] = 0.0
+            continue
+        sign0 = np.sign(f(lo))
+        while np.sign(f(hi)) == sign0 and hi < 1e3:
+            hi *= 2.0
+        if np.sign(f(hi)) == sign0:
+            continue  # no crossing: e.g. t exactly at T/2 (ratio=1/1)
+        for _ in range(200):
+            mid = 0.5 * (lo + hi)
+            if np.sign(f(mid)) == sign0:
+                lo = mid
+            else:
+                hi = mid
+            if hi - lo < tol:
+                break
+        out[t] = 0.5 * (lo + hi)
+    return out
+
+
 def _first_crossing(x, y, target):
     """First upward linear-interpolated crossing of y(x) = target."""
     for i in range(1, len(x)):

@@ -178,3 +178,35 @@ def test_read_flow_series_driver_format(tmp_path):
     assert np.allclose(taus, [0.1, 0.2, 0.3])
     assert np.allclose(e, c / taus)
     assert abs(t0_scale(taus, e) - 0.3 / c) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Pion effective mass
+# ---------------------------------------------------------------------------
+
+
+def test_effective_mass_cosh_exact_on_synthetic_correlator():
+    """C(t) = A [e^{-mt} + e^{-m(T-t)}]: the cosh solver recovers m on
+    EVERY usable timeslice, while the naive log drifts near T/2."""
+    from latticeqcd_tpu.analysis import effective_mass
+
+    m, t_ext, a = 0.73, 16, 2.4
+    t = np.arange(t_ext)
+    c = a * (np.exp(-m * t) + np.exp(-m * (t_ext - t)))
+    me = effective_mass(c, periodic=True)
+    usable = [j for j in range(t_ext - 1) if np.isfinite(me[j])]
+    assert len(usable) >= t_ext - 3
+    for j in usable:
+        assert abs(me[j] - m) < 1e-8, (j, me[j])
+    # the naive log underestimates approaching T/2 but matches at small t
+    ml = effective_mass(c, periodic=False)
+    assert abs(ml[1] - m) < 5e-3
+    assert ml[t_ext // 2 - 2] < m - 1e-3
+
+
+def test_effective_mass_handles_nonpositive_entries():
+    from latticeqcd_tpu.analysis import effective_mass
+
+    c = np.array([1.0, 0.5, -0.1, 0.2, 0.1, 0.05, 0.02, 0.01])
+    me = effective_mass(c)
+    assert np.isnan(me[1]) and np.isnan(me[2])  # slices touching c<=0
