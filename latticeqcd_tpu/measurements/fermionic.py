@@ -43,8 +43,8 @@ def _solve_mode():
     return os.environ.get("LQCD_FORCE_SOLVE_MODE") or None
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4))
-def _solve_dinv_multi(dirac, up, b, eps, maxiter):
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _solve_dinv_multi(dirac, up, b, eps, maxiter, deflate_k=0):
     """solve_DinvX! over a STACK of right-hand sides: D x_i = b_i,
     b shape (n, *lattice, [spin,] color); one jitted SPMD program per
     (operator, shape).
@@ -78,9 +78,26 @@ def _solve_dinv_multi(dirac, up, b, eps, maxiter):
         dsl_eo = jax.vmap(lambda v: d._packed_dslash(u_e, u_o, v, target_parity=0))
         dsl_oe = jax.vmap(lambda v: d._packed_dslash(u_o, u_e, v, target_parity=1))
         rhs_e = d.mass * b_e - dsl_eo(b_o)
+        w_one = lambda v: d.apply_w_packed((u_e, u_o), v)  # noqa: E731
+        x0 = None
+        if deflate_k:
+            # Low-mode deflated guess (opt-in, deflate_k > 0): one
+            # Lanczos sweep of W amortizes over ALL RHS of the batch;
+            # x0 projects out the k lowest Ritz modes. The guess only
+            # seeds CG (eigen.deflation_guess), so results are
+            # identical to the undeflated solve at the same eps.
+            # MEASURED caveat (PERF.md "Low-mode deflation"): pays off
+            # only when the low spectrum is sparse/separated; in the
+            # chirally-broken phase the band is dense (Banks-Casher)
+            # and the iteration count is unchanged — hence opt-in.
+            from latticeqcd_tpu.ops import eigen
+
+            m_lan = max(3 * deflate_k, deflate_k + 16)
+            evals, vecs = eigen.ritz_pairs_low(w_one, rhs_e[0], m_lan, deflate_k)
+            x0 = eigen.deflation_guess(evals, vecs, rhs_e)
         x_e, _, _ = solvers.cg_multi_auto(
-            lambda v: d.apply_w_packed((u_e, u_o), v),
-            rhs_e, eps=eps, maxiter=maxiter, force_mode=_solve_mode(),
+            w_one,
+            rhs_e, eps=eps, maxiter=maxiter, force_mode=_solve_mode(), x0=x0,
         )
         x_o = (b_o - dsl_oe(x_e)) / d.mass
         return jax.vmap(lambda v: d.unpack(v, 0))(x_e) + jax.vmap(
@@ -228,8 +245,15 @@ def _is_domainwall(dirac) -> bool:
 
 
 def chiral_condensate(u, dirac, key, nr: int = 10, nf_factor: float = 1.0,
-                      eps: float = 1e-19, maxiter: int = 3000):
-    """Returns (pbp_value, per-noise list)."""
+                      eps: float = 1e-19, maxiter: int = 3000,
+                      deflate_k: int = 0):
+    """Returns (pbp_value, per-noise list).
+
+    deflate_k > 0 (staggered even-odd path only): seed the batched CG
+    with a k-lowest-Ritz-mode Galerkin guess (ops/eigen.py) — one
+    Lanczos sweep amortized over all nr noise solves; results are
+    identical either way. Helps only when the low spectrum is sparse
+    (see the measured caveat in _solve_dinv_multi / PERF.md)."""
     up = apply_boundary_phases(u, dirac.bc)
     lattice = u.shape[1:5]
     nc = u.shape[-1]
@@ -250,7 +274,7 @@ def chiral_condensate(u, dirac, key, nr: int = 10, nf_factor: float = 1.0,
         # pin against, measurements/unusedfiles/)
         p = _dw_effective_propagator_multi(dirac, up, r, eps, maxiter)
     else:
-        p = _solve_dinv_multi(dirac, up, r, eps, maxiter)
+        p = _solve_dinv_multi(dirac, up, r, eps, maxiter, deflate_k)
     axes = tuple(range(1, r.ndim))
     per_noise = jnp.real(jnp.sum(jnp.conj(r) * p, axis=axes))
     vals = [float(v) / nv for v in per_noise]
@@ -258,8 +282,12 @@ def chiral_condensate(u, dirac, key, nr: int = 10, nf_factor: float = 1.0,
     return pbp, vals
 
 
-def pion_correlator(u, dirac, eps: float = 1e-19, maxiter: int = 3000):
-    """C_pi(t) from point-source propagators at the origin."""
+def pion_correlator(u, dirac, eps: float = 1e-19, maxiter: int = 3000,
+                    deflate_k: int = 0):
+    """C_pi(t) from point-source propagators at the origin.
+
+    deflate_k: see chiral_condensate — low-mode deflated CG seed for
+    the staggered even-odd path (opt-in)."""
     up = apply_boundary_phases(u, dirac.bc)
     lattice = u.shape[1:5]
     nc = u.shape[-1]
@@ -280,7 +308,7 @@ def pion_correlator(u, dirac, eps: float = 1e-19, maxiter: int = 3000):
         # still holds); see _dw_effective_propagator_multi
         prop = _dw_effective_propagator_multi(dirac, up, b, eps, maxiter)
     else:
-        prop = _solve_dinv_multi(dirac, up, b, eps, maxiter)
+        prop = _solve_dinv_multi(dirac, up, b, eps, maxiter, deflate_k)
     # sum over source batch, sink indices and space: |S|^2 per time slice
     mag2 = jnp.abs(prop) ** 2
     axes = (0, 1, 2, 3) + tuple(range(5, mag2.ndim))

@@ -51,38 +51,75 @@ def lanczos_tridiag(matvec, v0, m: int):
     indicator). A breakdown (beta ~ 0: an exact invariant subspace)
     zeroes the remaining basis vectors; extreme_eigs truncates there.
     """
+    _, alphas, betas, _ = _lanczos_basis(matvec, v0, m)
+    return alphas, betas
+
+
+def _lanczos_basis(matvec, v0, m: int):
+    """Shared m-step recurrence returning (basis, alphas, betas, valid):
+    valid[j] marks steps unaffected by an earlier breakdown (after one,
+    basis rows are zero and alphas 0 — callers mask them out)."""
     nrm = jnp.sqrt(jnp.real(_inner(v0, v0)))
     v0 = v0 / nrm.astype(v0.dtype)
     basis = jnp.zeros((m,) + v0.shape, v0.dtype).at[0].set(v0)
     alphas = jnp.zeros((m,), nrm.dtype)
     betas = jnp.zeros((m,), nrm.dtype)
+    valid = jnp.zeros((m,), bool).at[0].set(True)
 
     def body(j, carry):
-        basis, alphas, betas = carry
+        basis, alphas, betas, valid = carry
         v = basis[j]
         w = matvec(v)
         alpha = jnp.real(_inner(v, w))
         alphas = alphas.at[j].set(alpha)
-        # subtract the alpha/beta terms together with the
-        # reorthogonalization: w -= sum_k <v_k, w> v_k twice over the
-        # stored basis (rows > j are zero and contribute nothing), which
-        # includes the textbook -beta_{j-1} v_{j-1} - alpha_j v_j terms
         for _ in range(2):
             coef = jnp.einsum("k...,...->k", jnp.conj(basis), w)
             w = w - jnp.tensordot(coef, basis, axes=(0, 0))
         beta = jnp.sqrt(jnp.real(_inner(w, w)))
         betas = betas.at[j].set(beta)
+        ok = beta > jnp.asarray(1e-30, beta.dtype)
         v_next = jnp.where(
-            beta > jnp.asarray(1e-30, beta.dtype),
+            ok,
             w / jnp.maximum(beta, jnp.asarray(1e-300, beta.dtype)).astype(w.dtype),
             jnp.zeros_like(w),
         )
-        # j = m-1 writes index m: dropped (explicit scatter drop mode)
         basis = basis.at[j + 1].set(v_next, mode="drop")
-        return basis, alphas, betas
+        valid = valid.at[j + 1].set(jnp.logical_and(valid[j], ok), mode="drop")
+        return basis, alphas, betas, valid
 
-    _, alphas, betas = jax.lax.fori_loop(0, m, body, (basis, alphas, betas))
-    return alphas, betas
+    return jax.lax.fori_loop(0, m, body, (basis, alphas, betas, valid))
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def ritz_pairs_low(matvec, v0, m: int, k: int):
+    """k lowest Ritz pairs of a Hermitian PSD operator from m Lanczos
+    steps — fully jit-compatible (the m x m tridiagonal eigenproblem
+    runs as jnp.linalg.eigh inside the program, so this composes into
+    larger jitted measurement programs). Breakdown steps are masked to
+    a huge diagonal so they sort PAST the genuine Ritz values; their
+    basis rows are zero, so even if selected (k exceeds the reachable
+    Krylov dimension) they contribute nothing to a deflation guess.
+    Returns (evals[k], vecs[(k, *v0.shape)])."""
+    basis, alphas, betas, valid = _lanczos_basis(matvec, v0, m)
+    big = jnp.asarray(1e30, alphas.dtype)
+    diag = jnp.where(valid, alphas, big)
+    off = betas[: m - 1] * valid[1:].astype(betas.dtype)
+    t = jnp.diag(diag) + jnp.diag(off, 1) + jnp.diag(off, -1)
+    w, y = jnp.linalg.eigh(t)  # ascending
+    yk = y[:, :k].astype(basis.dtype)
+    vecs = jnp.einsum("jk,j...->k...", yk, basis)
+    return w[:k], vecs
+
+
+def deflation_guess(evals, vecs, b):
+    """Galerkin initial guess from Ritz pairs for a STACK of RHS:
+    x0_i = sum_k <v_k, b_i> / lambda_k v_k. Exact on the spanned
+    subspace; everything outside it starts from zero, so the
+    subsequent CG corrects any Ritz imprecision — the guess can only
+    be suboptimal, never wrong. Huge masked evals (ritz_pairs_low
+    breakdown padding) divide to ~0 and contribute nothing."""
+    c = jnp.einsum("k...,n...->nk", jnp.conj(vecs), b)
+    return jnp.einsum("nk,k...->n...", c / evals[None, :].astype(c.dtype), vecs)
 
 
 def extreme_eigs(matvec, v0, m: int = 32, breakdown_tol: float = 1e-10):

@@ -142,7 +142,8 @@ def cg(apply_a: Callable, b: jnp.ndarray, x0=None, eps: float = 1e-19, maxiter: 
     return x, it, rsq
 
 
-def cg_multi(apply_a: Callable, b: jnp.ndarray, eps: float = 1e-19, maxiter: int = 3000):
+def cg_multi(apply_a: Callable, b: jnp.ndarray, eps: float = 1e-19, maxiter: int = 3000,
+             x0=None):
     """Batched CG: solve A x_i = b_i for a stack of RHS at once.
 
     b has a leading RHS axis (n, ...); apply_a maps the full stack
@@ -170,8 +171,11 @@ def cg_multi(apply_a: Callable, b: jnp.ndarray, eps: float = 1e-19, maxiter: int
     def bcast(c):
         return c.reshape((-1,) + (1,) * (b.ndim - 1)).astype(b.dtype)
 
-    x = jnp.zeros_like(b)
-    r = b
+    # optional per-RHS initial guess (e.g. a low-mode deflation
+    # projection, ops/eigen.deflation_guess); x0=None traces the exact
+    # pre-existing zero-start program
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - apply_a(x) if x0 is not None else b
     p = r
     rsq = rdot(r, r)
     bsq = jnp.maximum(rdot(b, b), 1.0)
@@ -217,7 +221,7 @@ def cg_multi(apply_a: Callable, b: jnp.ndarray, eps: float = 1e-19, maxiter: int
 
 
 def cg_multi_auto(apply_one: Callable, b: jnp.ndarray, eps: float = 1e-19,
-                  maxiter: int = 3000, force_mode: str = None):
+                  maxiter: int = 3000, force_mode: str = None, x0=None):
     """Backend-conditional multi-RHS solve (the measured policy VERDICT
     r2 missing #3 asked for, numbers in PERF.md "Batched multi-RHS").
 
@@ -242,13 +246,21 @@ def cg_multi_auto(apply_one: Callable, b: jnp.ndarray, eps: float = 1e-19,
     """
     mode = force_mode or ("sequential" if jax.default_backend() == "cpu" else "batched")
     if mode == "sequential":
-        def solve_one(_, bi):
-            x, it, rsq = cg(apply_one, bi, eps=eps, maxiter=maxiter)
-            return None, (x, it, rsq)
+        if x0 is None:
+            def solve_one(_, bi):
+                x, it, rsq = cg(apply_one, bi, eps=eps, maxiter=maxiter)
+                return None, (x, it, rsq)
 
-        _, (xs, its, rsqs) = jax.lax.scan(solve_one, None, b)
+            _, (xs, its, rsqs) = jax.lax.scan(solve_one, None, b)
+        else:
+            def solve_one_x0(_, bx):
+                bi, x0i = bx
+                x, it, rsq = cg(apply_one, bi, x0=x0i, eps=eps, maxiter=maxiter)
+                return None, (x, it, rsq)
+
+            _, (xs, its, rsqs) = jax.lax.scan(solve_one_x0, None, (b, x0))
         return xs, jnp.max(its), rsqs
-    return cg_multi(jax.vmap(apply_one), b, eps=eps, maxiter=maxiter)
+    return cg_multi(jax.vmap(apply_one), b, eps=eps, maxiter=maxiter, x0=x0)
 
 
 def bicgstab(apply_a: Callable, b: jnp.ndarray, x0=None, eps: float = 1e-19, maxiter: int = 3000):
