@@ -282,6 +282,63 @@ def chiral_condensate(u, dirac, key, nr: int = 10, nf_factor: float = 1.0,
     return pbp, vals
 
 
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _low_spectrum_jit(dirac, up, m, k):
+    """Jitted body of dirac_low_spectrum: one program per
+    (operator, lattice, m, k) — the Lanczos sweep, the small
+    tridiagonal eigh and the Ritz rotation all run on device."""
+    from latticeqcd_tpu.ops import eigen
+    from latticeqcd_tpu.ops.dirac.wilson import gaussian_spinor
+
+    lattice = up.shape[1:5]
+    nc = up.shape[-1]
+    if (
+        isinstance(dirac, StaggeredDirac)
+        and dirac.mass != 0.0
+        and all(l % 2 == 0 for l in dirac.lattice)
+    ):
+        ueo = dirac.packed_links(up)
+        v0 = gaussian_spinor(jax.random.PRNGKey(20260822), lattice, nc,
+                             nspin=1, dtype=up.dtype)
+        v0 = dirac.pack(jnp.where(dirac.even_mask[..., None], v0, 0.0), 0)
+        vals, _ = eigen.ritz_pairs_low(
+            lambda v: dirac.apply_w_packed(ueo, v), v0, m, k)
+        return vals
+    nspin = 1 if isinstance(dirac, StaggeredDirac) else 4
+    v0 = gaussian_spinor(jax.random.PRNGKey(20260822), lattice, nc,
+                         nspin=nspin, dtype=up.dtype)
+    vals, _ = eigen.ritz_pairs_low(
+        lambda v: dirac.apply_ddag_d(up, v), v0, m, k)
+    return vals
+
+
+def dirac_low_spectrum(u, dirac, k: int = 8, m: int = None):
+    """Ritz estimates of the k lowest eigenvalues of the Hermitian PSD
+    operator behind the measurement solves (ascending numpy array).
+
+    Beyond-reference capability (LatticeQCD.jl ships no eigensolver):
+    * staggered, even extents, m != 0: the packed even-odd
+      W = m^2 - Dslash^2 — the anti-hermitian Dslash eigenvalues are
+      +- i sqrt(lam - m^2), so the returned lam map directly onto the
+      infrared Dirac spectrum whose density at zero ties the chiral
+      condensate to Banks-Casher (pbp = pi rho(0) / V in the broken
+      phase).
+    * otherwise: D^dag D (squared singular values of D; for the
+      gamma5-hermitian Wilson operator these are |eig(gamma5 D)|^2).
+
+    Ritz values approach the true eigenvalues from inside after
+    m >> k Lanczos steps (default m = max(6k, 48), full
+    reorthogonalization, ops/eigen.py); quote them as estimates, and
+    raise m to tighten. In the chirally broken phase the low band is
+    dense (PERF.md "Low-mode deflation"), so individual values carry
+    less meaning than their density."""
+    if m is None:
+        m = max(6 * k, 48)
+    up = apply_boundary_phases(u, dirac.bc)
+    return np.sort(np.asarray(_low_spectrum_jit(dirac, up, int(m), int(k)),
+                              dtype=np.float64))
+
+
 def pion_correlator(u, dirac, eps: float = 1e-19, maxiter: int = 3000,
                     deflate_k: int = 0):
     """C_pi(t) from point-source propagators at the origin.

@@ -187,6 +187,26 @@ class PionCorrelatorMeasurement(Measurement):
         return cpi, s
 
 
+class DiracSpectrumMeasurement(Measurement):
+    """k lowest eigenvalues of the measurement operator (staggered
+    packed W or D^dag D) via the jitted Lanczos sweep — a
+    beyond-reference method (the reference has no eigensolver; see
+    fermionic.dirac_low_spectrum for conventions and caveats).
+    format: "$itrj $additional $lam1 ... $lamk # dirac low spectrum"."""
+
+    def measure(self, u, itrj, additional_string=""):
+        fparams = self.params.get("fermion_parameters", {"Dirac_operator": "Staggered"})
+        dirac = build_dirac_from_params(fparams, u.shape[1:5])
+        k = int(self.params.get("Neig", 8))
+        m = self.params.get("Nlanczos")
+        vals = fermionic.dirac_low_spectrum(
+            u, dirac, k=k, m=int(m) if m is not None else None)
+        s = self.emit(f"{itrj} {additional_string}"
+                      + " ".join(f"{v:.10g}" for v in vals)
+                      + " # dirac low spectrum")
+        return vals, s
+
+
 _REGISTRY = {
     "Plaquette": PlaquetteMeasurement,
     "Polyakov_loop": PolyakovMeasurement,
@@ -195,6 +215,7 @@ _REGISTRY = {
     "Wilson_loop": WilsonLoopMeasurement,
     "Chiral_condensate": ChiralCondensateMeasurement,
     "Pion_correlator": PionCorrelatorMeasurement,
+    "Dirac_spectrum": DiracSpectrumMeasurement,
 }
 
 

@@ -138,3 +138,53 @@ def test_pion_correlator_batched_path_matches_sequential(monkeypatch):
     c_bat = fermionic.pion_correlator(u, d, eps=1e-20, maxiter=2000)
     fermionic._solve_dinv_multi.clear_cache()
     np.testing.assert_allclose(c_bat, c_seq, rtol=1e-9)
+
+
+def test_dirac_low_spectrum_staggered_matches_dense():
+    """Full-dimension Lanczos (m = dim) is exact: the k lowest Ritz
+    values of the packed staggered W on a hot config equal the dense
+    eigvalsh lowest k (no degeneracy ambiguity on a disordered
+    config)."""
+    import jax
+
+    from latticeqcd_tpu.ops.dirac.wilson import apply_boundary_phases
+
+    u = fields.hot_start(LAT, 3, seed=13, dtype=jnp.complex128)
+    d = StaggeredDirac(mass=0.3, lattice=LAT)
+    up = apply_boundary_phases(u, d.bc)
+    ueo = d.packed_links(up)
+    half = (LAT[0] // 2,) + LAT[1:] + (3,)
+    dim = int(np.prod(half))
+    eye = jnp.eye(dim, dtype=u.dtype).reshape((dim,) + half)
+    cols = jax.vmap(lambda v: d.apply_w_packed(ueo, v))(eye)
+    wmat = np.asarray(cols.reshape(dim, dim)).T
+    ev = np.linalg.eigvalsh(0.5 * (wmat + wmat.conj().T))
+
+    k = 4
+    vals = fermionic.dirac_low_spectrum(u, d, k=k, m=dim)
+    np.testing.assert_allclose(vals, ev[:k], rtol=1e-6, atol=1e-9)
+    # Dsl eigenvalues implied by the docstring mapping are real
+    assert np.all(vals >= d.mass**2 * 0.999)
+
+
+def test_dirac_spectrum_measurement_writes_series(tmp_path):
+    """Scheduler method 'Dirac_spectrum': k ascending values per line in
+    the documented format."""
+    u = fields.hot_start(LAT, 3, seed=1, dtype=jnp.complex128)
+    methods = [{
+        "methodname": "Dirac_spectrum",
+        "measure_every": 1,
+        "Neig": 3,
+        "Nlanczos": 60,
+        "fermion_parameters": {"Dirac_operator": "Staggered", "mass": 0.5},
+    }]
+    ms = MeasurementSet.from_methods(methods, measuredir=str(tmp_path))
+    ms.calc_measurement_values(7, u)
+    ms.close()
+    line = open(tmp_path / "Dirac_spectrum.txt").read().strip()
+    assert line.endswith("# dirac low spectrum")
+    fieldsv = line.split("#")[0].split()
+    assert fieldsv[0] == "7" and len(fieldsv) == 4
+    vals = [float(x) for x in fieldsv[1:4]]
+    assert vals == sorted(vals)
+    assert all(v >= 0.25 * 0.999 for v in vals)  # >= m^2 (PSD W)
