@@ -305,8 +305,16 @@ def _low_spectrum_jit(dirac, up, m, k):
             lambda v: dirac.apply_w_packed(ueo, v), v0, m, k)
         return vals
     nspin = 1 if isinstance(dirac, StaggeredDirac) else 4
-    v0 = gaussian_spinor(jax.random.PRNGKey(20260822), lattice, nc,
-                         nspin=nspin, dtype=up.dtype)
+    if _is_domainwall(dirac):
+        # 5D field: one independent Gaussian 4D spinor per s slice
+        v0 = jnp.stack([
+            gaussian_spinor(jax.random.PRNGKey(20260822 + s), lattice, nc,
+                            nspin=4, dtype=up.dtype)
+            for s in range(dirac.l5)
+        ])
+    else:
+        v0 = gaussian_spinor(jax.random.PRNGKey(20260822), lattice, nc,
+                             nspin=nspin, dtype=up.dtype)
     vals, _ = eigen.ritz_pairs_low(
         lambda v: dirac.apply_ddag_d(up, v), v0, m, k)
     return vals

@@ -132,7 +132,7 @@ def generate_parameters(
     mset = {}
     for m in measurements:
         entry = {"methodname": m, "measure_every": measure_every}
-        if m in ("Pion_correlator", "Chiral_condensate"):
+        if m in ("Pion_correlator", "Chiral_condensate", "Dirac_spectrum"):
             fp = {"Dirac_operator": fermion or ("Staggered" if m == "Chiral_condensate" else "Wilson")}
             if fp["Dirac_operator"] == "Wilson":
                 fp["hop"] = hop
@@ -211,6 +211,7 @@ _MEASUREMENT_MENU = (
     "Wilson_loop",
     "Chiral_condensate",
     "Pion_correlator",
+    "Dirac_spectrum",
 )
 
 

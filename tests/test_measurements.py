@@ -188,3 +188,17 @@ def test_dirac_spectrum_measurement_writes_series(tmp_path):
     vals = [float(x) for x in fieldsv[1:4]]
     assert vals == sorted(vals)
     assert all(v >= 0.25 * 0.999 for v in vals)  # >= m^2 (PSD W)
+
+
+def test_dirac_low_spectrum_wilson_and_domainwall_smoke():
+    """Non-staggered branches run through D^dag D (Wilson 4D spinors,
+    domain-wall 5D fields) and return ascending positive values."""
+    from latticeqcd_tpu.ops.dirac.domainwall import DomainwallDirac
+
+    lat = (4, 4, 2, 2)
+    u = fields.hot_start(lat, 3, seed=2, dtype=jnp.complex128)
+    for d in (WilsonDirac(kappa=0.12), DomainwallDirac(mass=1.0, m5=-1.0, l5=4)):
+        vals = fermionic.dirac_low_spectrum(u, d, k=3, m=40)
+        assert len(vals) == 3
+        assert list(vals) == sorted(vals)
+        assert np.all(vals > 0)
