@@ -191,3 +191,55 @@ def test_reunitarize_bounds_c64_defect(tmp_path, monkeypatch):
     assert len(defects) == 5  # auto cadence: every 10 of 50
     assert max(defects) < 5e-4, defects
     assert 0.5 < plaq < 0.62, plaq
+
+
+def test_run_lqcd_dirac_spectrum_and_flow_scales_from_toml(tmp_path, monkeypatch):
+    """TOML-driven round trip for the round-5 additions: a
+    Dirac_spectrum measurement (fermion_parameters carried through
+    params) and flowed Energy_density series feeding
+    analysis.t0_scale/w0_scale (NaN here — the short 4^4 flow window
+    never crosses 0.3, which is the documented behavior)."""
+    (tmp_path / "spec.toml").write_text("""
+[System_Settings]
+L = [4, 4, 4, 4]
+NC = 3
+Nthermalization = 0
+Nsteps = 2
+update_method = "Heatbath"
+quench = true
+verboselevel = 1
+beta = 5.7
+initial = "cold"
+randomseed = 111
+
+[Measurement_set]
+measurement_basedir = "./measurements"
+measurement_dir = "spec"
+measurement_methods = [
+  {methodname = "Plaquette", measure_every = 1},
+  {methodname = "Dirac_spectrum", measure_every = 1, Neig = 3, Nlanczos = 48, fermion_parameters = {Dirac_operator = "Staggered", mass = 0.5}},
+]
+
+[gradientflow_measurements]
+numflow = 3
+Nflow = 1
+eps_flow = 0.02
+measurements_for_flow = [
+  {methodname = "Energy_density", measure_every = 1},
+]
+""")
+    monkeypatch.chdir(tmp_path)
+    plaq = latticeqcd_tpu.run_LQCD("spec.toml")
+    assert np.isfinite(plaq)
+    mdir = tmp_path / "measurements" / "spec"
+    spec_lines = (mdir / "Dirac_spectrum.txt").read_text().strip().split("\n")
+    assert len(spec_lines) == 3  # trajectory 0 + 2
+    vals = [float(x) for x in spec_lines[-1].split("#")[0].split()[1:]]
+    assert len(vals) == 3 and vals == sorted(vals)
+    assert all(v >= 0.25 * 0.999 for v in vals)  # >= m^2: W is PSD
+
+    from latticeqcd_tpu.analysis import read_flow_series, t0_scale, w0_scale
+
+    taus, evals = read_flow_series(str(mdir / "Energy_density_flow.txt"))
+    assert len(taus) == 3 and np.all(np.diff(taus) > 0)
+    assert np.isnan(t0_scale(taus, evals)) and np.isnan(w0_scale(taus, evals))
