@@ -315,6 +315,24 @@ def main(argv=None):
         if not fn.endswith(".txt"):
             continue
         path = os.path.join(measuredir, fn)
+        if "Pion_correlator" in fn:
+            # lines: "{itrj} c(0) ... c(T-1) " + a separate
+            # "#pioncorrelator" comment line (scheduler.py); average
+            # the correlator over trajectories, quote the cosh
+            # effective mass at the cleanest timeslice (T/4).
+            corrs = []
+            with open(path) as fp:
+                for line in fp:
+                    parts = line.split("#")[0].split()
+                    if len(parts) >= 3:
+                        corrs.append([float(x) for x in parts[1:]])
+            if corrs:
+                c = np.mean(np.asarray(corrs), axis=0)
+                me = effective_mass(c)
+                t_quote = max(1, len(c) // 4)
+                print(f"{fn:32s} m_eff(t={t_quote})={me[t_quote]:.5f}  "
+                      f"(cosh, {len(corrs)} configs, T={len(c)})")
+                continue
         if "Energy_density" in fn and "_flow" in fn:
             taus, evals = read_flow_series(path)
             if len(taus) >= 2:

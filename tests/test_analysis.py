@@ -210,3 +210,22 @@ def test_effective_mass_handles_nonpositive_entries():
     c = np.array([1.0, 0.5, -0.1, 0.2, 0.1, 0.05, 0.02, 0.01])
     me = effective_mass(c)
     assert np.isnan(me[1]) and np.isnan(me[2])  # slices touching c<=0
+
+
+def test_cli_summarizes_pion_correlator_files(tmp_path, capsys):
+    """The CLI quotes a cosh m_eff for Pion_correlator series files."""
+    from latticeqcd_tpu.analysis import main
+
+    m, t_ext = 0.6, 8
+    t = np.arange(t_ext)
+    c = np.exp(-m * t) + np.exp(-m * (t_ext - t))
+    lines = []
+    for itrj in (1, 2):
+        lines.append(f"{itrj} " + " ".join(str(v) for v in c) + " ")
+        lines.append("#pioncorrelator")
+    (tmp_path / "Pion_correlator.txt").write_text("\n".join(lines) + "\n")
+    assert main([str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert "m_eff" in out
+    quoted = float(out.split("m_eff(t=2)=")[1].split()[0])
+    assert abs(quoted - m) < 1e-6
