@@ -1,1 +1,1 @@
-from latticeqcd_tpu.ops import fields, gauge_action, sun, wilsonline  # noqa: F401
+from latticeqcd_tpu.ops import eigen, fields, gauge_action, sun, wilsonline  # noqa: F401
