@@ -203,7 +203,10 @@ def test_published_su3_plaquette_mid_coupling(beta, p_ref):
     accept/reject) moves <P> by >> 2%. The first committed run (100
     therm + 150x2 meas, f64) passed both betas in 10:48 under -n 2;
     stats were then trimmed (sigma_MC stays ~1e-4, band is
-    systematic-dominated) to keep the slow lane affordable."""
+    systematic-dominated) to keep the slow lane affordable. The FV
+    attribution is CONFIRMED by the round-5 12^4 cross-check
+    (VALIDATION.md 1c table: dev(6.0) collapses -0.0057 -> +7e-5,
+    0.7 sigma_MC; scripts/plaq12_fv.py, PERF_CAPTURE/plaq12_fv.jsonl)."""
     mean, err = _heatbath_plaquette_8c(3, beta, n_therm=60, n_meas=90)
     band = 4.0 * err + 0.016
     assert abs(mean - p_ref) < band, (beta, mean, p_ref, err, band)
