@@ -286,8 +286,8 @@ def w_planes_window(phi_k, u_k, lattice, mass, interpret=False):
         kernel,
         grid=(lt,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, nplanes, lz, yx), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(phi_k.shape, phi_k.dtype),

@@ -362,8 +362,8 @@ def dslash_planes_window(psi_k, u_k, lattice, kappa, interpret=False, depth=4):
         kernel,
         grid=(lt,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, nplanes, lz, yx), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(psi_k.shape, psi_k.dtype),
